@@ -1,0 +1,273 @@
+"""Spatial joins — the engine's core operator (SURVEY.md §2.4).
+
+From-scratch Spark-first re-expression of GeoMesa's spatial join surface:
+
+- ``broadcast_pip_join``  ~ ``GeoMesaSpark#shallowJoin`` (broadcast small
+  polygon set; north_rule: "broadcast of small polygon sets")
+- ``grid_pip_join``       ~ ``GeoMesaJoinRelation`` + ``RelationUtils#
+  gridPartition`` (grid-partitioned join for big x big; sort-merge /
+  shuffle-hash on cell, with explicit salting of hot cells per north_rule)
+- ``distance_join``       ~ ``ProximitySearchProcess`` (dwithin semantics)
+
+Design (two-phase, SURVEY.md §4):
+1. COARSE: polygons → grid-cell covers (driver-side numpy, exact
+   box-vs-polygon test, cells marked *full* when the cell box lies entirely
+   inside the polygon); points → cell via a pure Catalyst expression
+   (floor arithmetic — whole-stage-codegen, no UDF). Equi-join on cell.
+2. REFINE: candidates in non-*full* cells run the vectorized numpy
+   ray-crossing PIP in an Arrow-batched pandas UDF, grouped by polygon id
+   inside each batch. *full* cells skip refinement entirely (the analog of
+   GeoMesa's LOOSE_BBOX fast path is ``refine=False``).
+
+At 100 TB scale the coarse join is the only shuffle (and broadcast joins
+have none); the refine UDF is a narrow map. Hot cells (20% of web-page
+geo-mentions hit 3 cities — FIXTURES.md §1) are salted explicitly in
+``grid_pip_join``; AQE skew handling stays on as a backstop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import BooleanType
+
+from geomesa_spark.functions import cells as C
+from geomesa_spark.functions import geometry as geo
+from geomesa_spark.sources.synth import Polygon
+
+DEFAULT_LEVEL = 8
+
+
+# ---------------------------------------------------------------------------
+# cell assignment — pure Catalyst expression (JVM codegen, no UDF)
+# ---------------------------------------------------------------------------
+
+
+def grid_cell_expr(lon_col: str, lat_col: str, level: int):
+    nx, ny = C.grid_shape(level)
+    ix = F.least(
+        F.lit(nx - 1),
+        F.greatest(F.lit(0), F.floor((F.col(lon_col) + F.lit(180.0)) / F.lit(360.0) * F.lit(nx))),
+    )
+    iy = F.least(
+        F.lit(ny - 1),
+        F.greatest(F.lit(0), F.floor((F.col(lat_col) + F.lit(90.0)) / F.lit(180.0) * F.lit(ny))),
+    )
+    return (iy * F.lit(nx) + ix).cast("long")
+
+
+def with_grid_cell(df: DataFrame, lon_col: str = "lon", lat_col: str = "lat", level: int = DEFAULT_LEVEL, out: str = "cell") -> DataFrame:
+    return df.withColumn(out, grid_cell_expr(lon_col, lat_col, level))
+
+
+def grid_cell_sql(lon_expr: str, lat_expr: str, level: int) -> str:
+    """The SAME cell assignment as ANSI SQL (DuckDB-oracle parity)."""
+    nx, ny = C.grid_shape(level)
+    ix = f"least({nx - 1}, greatest(0, cast(floor(({lon_expr} + 180.0) / 360.0 * {nx}) as bigint)))"
+    iy = f"least({ny - 1}, greatest(0, cast(floor(({lat_expr} + 90.0) / 180.0 * {ny}) as bigint)))"
+    return f"({iy} * {nx} + {ix})"
+
+
+# ---------------------------------------------------------------------------
+# polygon covers (driver-side; polygon sets are the small dim side)
+# ---------------------------------------------------------------------------
+
+
+def polygon_cover_pdf(polys: list[Polygon], level: int = DEFAULT_LEVEL) -> pd.DataFrame:
+    """(cell, polygon_id, full) rows: every grid cell whose box intersects
+    the polygon; ``full`` marks cells wholly inside (refine skippable).
+    Exactness: box-vs-polygon intersection test is exact (vertex-in-box,
+    corner-in-polygon, edge-crosses-box), so the cover is a tight superset
+    — never a false negative (SURVEY.md §4 two-phase contract)."""
+    rows_cell, rows_pid, rows_full = [], [], []
+    for p in polys:
+        bx0, by0, bx1, by1 = geo.polygon_bbox(p.coords)
+        for cell in C.grid_cover_bbox(bx0, by0, bx1, by1, level):
+            cx0, cy0, cx1, cy1 = C.grid_cell_bounds(cell, level)
+            if not geo.box_intersects_polygon(cx0, cy0, cx1, cy1, p.coords, p.ring_offsets):
+                continue
+            corners_in = geo.points_in_polygon(
+                np.array([cx0, cx1, cx1, cx0]), np.array([cy0, cy0, cy1, cy1]), p.coords, p.ring_offsets
+            ).all()
+            x1, y1, x2, y2 = geo.polygon_edges(p.coords, p.ring_offsets)
+            edge_hits = geo.segments_intersect_box(x1, y1, x2, y2, cx0, cy0, cx1, cy1).any()
+            rows_cell.append(int(cell))
+            rows_pid.append(p.polygon_id)
+            rows_full.append(bool(corners_in and not edge_hits))
+    return pd.DataFrame({"cell": np.asarray(rows_cell, dtype=np.int64), "polygon_id": np.asarray(rows_pid, dtype=np.int64), "full": rows_full})
+
+
+def make_pip_refine(polys: list[Polygon]):
+    """Arrow-batched pandas UDF (lon, lat, polygon_id) → bool.
+
+    Batches are grouped by polygon id inside numpy (a handful of unique
+    ids per batch), each group refined with the vectorized ray-crossing
+    test — no per-row Python."""
+    geoms = {p.polygon_id: (p.coords, p.ring_offsets) for p in polys}
+
+    @F.pandas_udf(BooleanType())
+    def pip_refine(lon: pd.Series, lat: pd.Series, pid: pd.Series) -> pd.Series:
+        lon_v = lon.to_numpy(dtype=np.float64)
+        lat_v = lat.to_numpy(dtype=np.float64)
+        pid_v = pid.to_numpy(dtype=np.int64)
+        out = np.zeros(len(lon_v), dtype=bool)
+        for p in np.unique(pid_v):
+            m = pid_v == p
+            coords, offs = geoms[int(p)]
+            out[m] = geo.points_in_polygon(lon_v[m], lat_v[m], coords, offs)
+        return pd.Series(out)
+
+    return pip_refine
+
+
+# ---------------------------------------------------------------------------
+# the joins
+# ---------------------------------------------------------------------------
+
+
+def broadcast_pip_join(
+    points: DataFrame,
+    polys: list[Polygon],
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    level: int = DEFAULT_LEVEL,
+    how: str = "inner",
+    refine: bool = True,
+    point_key=None,
+) -> DataFrame:
+    """Tag each point with the ids of covering polygons.
+
+    ``how``: 'inner' (point x polygon match rows), 'left_semi' (points with
+    ≥1 covering polygon), 'left_anti' (points with none). ``refine=False``
+    is the LOOSE_BBOX fast path (cell-precision superset).
+    The polygon side is broadcast — the join is shuffle-free.
+    """
+    spark = points.sparkSession
+    covers = spark.createDataFrame(polygon_cover_pdf(polys, level))
+    pts = with_grid_cell(points, lon_col, lat_col, level)
+    cand = pts.join(F.broadcast(covers), "cell", "inner")
+    if refine:
+        pip = make_pip_refine(polys)
+        matched = cand.where(F.col("full") | pip(F.col(lon_col), F.col(lat_col), F.col("polygon_id")))
+    else:
+        matched = cand
+    matched = matched.drop("full", "cell")
+    if how == "inner":
+        return matched
+    keys = point_key if point_key is not None else [c for c in points.columns]
+    if how == "left_semi":
+        return points.join(matched.select(*keys).distinct(), keys, "left_semi")
+    if how == "left_anti":
+        return points.join(matched.select(*keys).distinct(), keys, "left_anti")
+    raise ValueError(f"unsupported how={how}")
+
+
+def hot_cells(points_with_cell: DataFrame, threshold_fraction: float = 0.01) -> list[int]:
+    """Cells holding more than `threshold_fraction` of all points — the
+    explicit skew list (manifest cell histograms serve this at scale;
+    computed here with one cheap partial-agg pass)."""
+    total = points_with_cell.count()
+    rows = (
+        points_with_cell.groupBy("cell").count()
+        .where(F.col("count") > total * threshold_fraction)
+        .collect()
+    )
+    return [r["cell"] for r in rows]
+
+
+def grid_pip_join(
+    points: DataFrame,
+    polys: list[Polygon],
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    level: int = DEFAULT_LEVEL,
+    refine: bool = True,
+    salt: int = 8,
+    skew_cells: list[int] | None = None,
+    point_key_col: str | None = None,
+    strategy: str = "merge",
+) -> DataFrame:
+    """Grid-partitioned big x big spatial join with EXPLICIT hot-cell
+    salting (north_rule). Both sides shuffle on (cell, salt):
+
+    - points in a hot cell get ``salt = pmod(xxhash64(key), s)`` — spreads
+      one hot city cell over s reducers;
+    - the cover side replicates hot-cell rows s times (explode), others
+      carry salt 0.
+
+    ``strategy='merge'`` hints sort-merge (north_rule: "sort-merge for
+    large range joins"); 'shuffle_hash' is available when the build side
+    fits. Output is identical to ``broadcast_pip_join`` (test-asserted
+    with salting on/off)."""
+    spark = points.sparkSession
+    cover_pdf = polygon_cover_pdf(polys, level)
+    covers = spark.createDataFrame(cover_pdf)
+    pts = with_grid_cell(points, lon_col, lat_col, level)
+
+    if skew_cells is None:
+        skew_cells = hot_cells(pts)
+    skew_arr = F.array(*[F.lit(c) for c in skew_cells]) if skew_cells else F.array().cast("array<long>")
+
+    key = F.col(point_key_col) if point_key_col else F.concat_ws(",", F.col(lon_col), F.col(lat_col))
+    pts = pts.withColumn(
+        "salt",
+        F.when(F.array_contains(skew_arr, F.col("cell")), F.pmod(F.xxhash64(key), F.lit(salt)).cast("int")).otherwise(F.lit(0)),
+    )
+    covers = (
+        covers.withColumn(
+            "salts",
+            F.when(
+                F.array_contains(skew_arr, F.col("cell")),
+                F.array(*[F.lit(i) for i in range(salt)]),
+            ).otherwise(F.array(F.lit(0))),
+        )
+        .withColumn("salt", F.explode("salts"))
+        .drop("salts")
+    )
+    cand = pts.hint(strategy).join(covers, ["cell", "salt"], "inner")
+    if refine:
+        pip = make_pip_refine(polys)
+        cand = cand.where(F.col("full") | pip(F.col(lon_col), F.col(lat_col), F.col("polygon_id")))
+    return cand.drop("full", "cell", "salt")
+
+
+def distance_join(
+    points: DataFrame,
+    queries_pdf: pd.DataFrame,
+    radius_m: float,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    level: int = DEFAULT_LEVEL,
+) -> DataFrame:
+    """dwithin join: points within radius_m of any query point
+    (ProximitySearchProcess semantics). queries_pdf: (qid, lon, lat) —
+    small, broadcast. Cell-disk prefilter + exact haversine (Catalyst
+    expression, JVM-side)."""
+    spark = points.sparkSession
+    nx, ny = C.grid_shape(level)
+    cell_h_m = 180.0 / ny * 111_194.93
+    rows = []
+    for q in queries_pdf.itertuples(index=False):
+        # radius in cells, padded by one; lon width shrinks by cos(lat)
+        coslat = max(np.cos(np.radians(min(abs(q.lat) + 180.0 / ny, 89.9))), 1e-6)
+        rx = int(radius_m / (360.0 / nx * 111_194.93 * coslat)) + 1
+        ry = int(radius_m / cell_h_m) + 1
+        center = int(C.grid_encode(np.array([q.lon]), np.array([q.lat]), level)[0])
+        for cell in C.grid_disk(center, max(rx, ry), level):
+            rows.append((int(cell), q.qid, float(q.lon), float(q.lat)))
+    cand_cells = spark.createDataFrame(pd.DataFrame(rows, columns=["cell", "qid", "q_lon", "q_lat"]))
+    pts = with_grid_cell(points, lon_col, lat_col, level)
+    joined = pts.join(F.broadcast(cand_cells), "cell", "inner")
+    dist = haversine_expr(lon_col, lat_col, "q_lon", "q_lat")
+    return joined.withColumn("dist_m", dist).where(F.col("dist_m") <= radius_m).drop("cell")
+
+
+def haversine_expr(lon1: str, lat1: str, lon2: str, lat2: str):
+    """Haversine distance (meters) as a pure Catalyst expression."""
+    r = F.lit(geo.EARTH_RADIUS_M)
+    la1, la2 = F.radians(F.col(lat1)), F.radians(F.col(lat2))
+    dlat = la2 - la1
+    dlon = F.radians(F.col(lon2)) - F.radians(F.col(lon1))
+    h = F.pow(F.sin(dlat / 2), 2) + F.cos(la1) * F.cos(la2) * F.pow(F.sin(dlon / 2), 2)
+    return F.lit(2.0) * r * F.asin(F.sqrt(F.least(h, F.lit(1.0))))

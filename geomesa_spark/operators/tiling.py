@@ -1,0 +1,208 @@
+"""Raster ↔ vector tiling (SURVEY.md §2.8).
+
+From-scratch Spark-first analog of GeoMesa's raster store
+(``geomesa-raster/.../AccumuloRasterStore.scala`` chips keyed by
+resolution band + GeoHash — SURVEY.md §1.1) re-expressed columnar:
+
+- tile assignment    — pure Catalyst floor arithmetic (slippy-map /
+  Web-Mercator XYZ or equirectangular), reproducible in ANSI SQL for the
+  DuckDB oracle (FIXTURES.md §5 "Tiling").
+- tile pyramid       — z → z-1 rollups are integer shifts + re-agg
+  (map-side partial aggregation; one shuffle per level, or grouping-sets
+  in one pass).
+- raster chips table — (tile_id, zoom, bounds, width, height, band:binary)
+  rows; synthesized analytic-ripple fixture chips so mosaics are
+  verifiable pointwise (FIXTURES.md §7).
+- mosaic             — ``groupBy(request).applyInPandas`` numpy stitch
+  (~ ``RasterUtils#mosaicChunks``).
+- zonal stats        — PIP spatial join + groupBy(polygon) agg.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+WEBMERC_MAX_LAT = 85.05112878
+
+
+# ---------------------------------------------------------------------------
+# tile assignment (native expressions; SQL twins for the oracle)
+# ---------------------------------------------------------------------------
+
+
+def tile_x_expr(lon_col: str, zoom: int):
+    n = 1 << zoom
+    return F.least(F.lit(n - 1), F.greatest(F.lit(0), F.floor((F.col(lon_col) + F.lit(180.0)) / F.lit(360.0) * F.lit(n)))).cast("long")
+
+
+def tile_y_expr(lat_col: str, zoom: int, scheme: str = "webmercator"):
+    n = 1 << zoom
+    if scheme == "equirect":
+        raw = (F.lit(90.0) - F.col(lat_col)) / F.lit(180.0) * F.lit(n)
+    else:
+        lat = F.least(F.lit(WEBMERC_MAX_LAT), F.greatest(F.lit(-WEBMERC_MAX_LAT), F.col(lat_col)))
+        phi = F.radians(lat)
+        raw = (F.lit(1.0) - F.log(F.tan(F.lit(float(np.pi) / 4.0) + phi / F.lit(2.0))) / F.lit(float(np.pi))) / F.lit(2.0) * F.lit(n)
+    return F.least(F.lit(n - 1), F.greatest(F.lit(0), F.floor(raw))).cast("long")
+
+
+def tile_x_sql(lon_expr: str, zoom: int) -> str:
+    n = 1 << zoom
+    return f"least({n - 1}, greatest(0, cast(floor(({lon_expr} + 180.0) / 360.0 * {n}) as bigint)))"
+
+
+def tile_y_sql(lat_expr: str, zoom: int, scheme: str = "webmercator") -> str:
+    n = 1 << zoom
+    if scheme == "equirect":
+        raw = f"(90.0 - {lat_expr}) / 180.0 * {n}"
+    else:
+        lat = f"least({WEBMERC_MAX_LAT}, greatest(-{WEBMERC_MAX_LAT}, {lat_expr}))"
+        raw = f"(1.0 - ln(tan(pi() / 4.0 + radians({lat}) / 2.0)) / pi()) / 2.0 * {n}"
+    return f"least({n - 1}, greatest(0, cast(floor({raw}) as bigint)))"
+
+
+def with_tile(df: DataFrame, lon_col: str = "lon", lat_col: str = "lat", zoom: int = 7, scheme: str = "webmercator") -> DataFrame:
+    return (
+        df.withColumn("tile_x", tile_x_expr(lon_col, zoom))
+        .withColumn("tile_y", tile_y_expr(lat_col, zoom, scheme))
+        .withColumn("zoom", F.lit(zoom))
+    )
+
+
+def tile_counts(df: DataFrame, lon_col="lon", lat_col="lat", zoom: int = 7, weight_col: str | None = None, scheme: str = "webmercator") -> DataFrame:
+    """Vector→raster density: per-tile weighted counts (the DensityScan /
+    heatmap analog, SURVEY.md §2.5). One hash-agg shuffle; partial
+    aggregation is map-side automatically."""
+    t = with_tile(df, lon_col, lat_col, zoom, scheme)
+    agg = F.sum(weight_col).alias("weight") if weight_col else F.count(F.lit(1)).alias("weight")
+    return t.groupBy("zoom", "tile_x", "tile_y").agg(agg)
+
+
+def rollup_tiles(tiles: DataFrame, levels: int = 1) -> DataFrame:
+    """Aggregate a tile-count table one or more zoom levels up
+    (tile pyramid: parent = (x >> 1, y >> 1), weights summed)."""
+    out = tiles
+    for _ in range(levels):
+        out = (
+            out.withColumn("tile_x", F.shiftright("tile_x", 1))
+            .withColumn("tile_y", F.shiftright("tile_y", 1))
+            .withColumn("zoom", F.col("zoom") - 1)
+            .groupBy("zoom", "tile_x", "tile_y")
+            .agg(F.sum("weight").alias("weight"))
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# raster chips + mosaic
+# ---------------------------------------------------------------------------
+
+CHIP_W = CHIP_H = 64
+
+
+def _ripple(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+    """Analytic band value — pointwise verifiable (FIXTURES.md §7)."""
+    return np.sin(np.radians(lon) * 3.0) * np.cos(np.radians(lat) * 2.0)
+
+
+def tile_bounds(tx: int, ty: int, zoom: int) -> tuple[float, float, float, float]:
+    """Equirectangular slippy bounds (chips use the equirect scheme so the
+    band grid is an affine function of lon/lat — exact mosaics)."""
+    n = 1 << zoom
+    w = 360.0 / n
+    h = 180.0 / n
+    min_lon = tx * w - 180.0
+    max_lat = 90.0 - ty * h
+    return min_lon, max_lat - h, min_lon + w, max_lat
+
+
+def make_chip(tx: int, ty: int, zoom: int) -> bytes:
+    lo, la, hi, ha = tile_bounds(tx, ty, zoom)
+    xs = lo + (np.arange(CHIP_W) + 0.5) / CHIP_W * (hi - lo)
+    ys = ha - (np.arange(CHIP_H) + 0.5) / CHIP_H * (ha - la)  # row 0 = top
+    grid = _ripple(xs[None, :], ys[:, None]).astype("<f4")
+    return grid.tobytes()
+
+
+def chips_pdf(zooms=(5, 7, 9), lon_range=(-30.0, 30.0), lat_range=(-20.0, 20.0)) -> pd.DataFrame:
+    """Fixture chips covering a lon/lat window at each pyramid zoom."""
+    rows = []
+    for z in zooms:
+        n = 1 << z
+        tx0 = int((lon_range[0] + 180.0) / 360.0 * n)
+        tx1 = int((lon_range[1] + 180.0) / 360.0 * n)
+        ty0 = int((90.0 - lat_range[1]) / 180.0 * n)
+        ty1 = int((90.0 - lat_range[0]) / 180.0 * n)
+        for ty in range(ty0, ty1 + 1):
+            for tx in range(tx0, tx1 + 1):
+                lo, la, hi, ha = tile_bounds(tx, ty, z)
+                rows.append(
+                    (int((ty << 32) | tx), z, tx, ty, lo, la, hi, ha, CHIP_W, CHIP_H, make_chip(tx, ty, z))
+                )
+    return pd.DataFrame(
+        rows,
+        columns=["tile_id", "zoom", "tile_x", "tile_y", "min_lon", "min_lat", "max_lon", "max_lat", "width", "height", "band"],
+    )
+
+
+def pick_zoom(available: list[int], requested_deg_per_px: float) -> int:
+    """Choose the stored zoom whose resolution is closest ≥ the request
+    (~ AccumuloRasterStore#getLexicodedResolution selection)."""
+    best = None
+    for z in sorted(available, reverse=True):  # finest first
+        res = 180.0 / (1 << z) / CHIP_H
+        if res <= requested_deg_per_px or best is None:
+            best = z
+        else:
+            break
+    return best
+
+
+def raster_query(chips: DataFrame, min_lon, min_lat, max_lon, max_lat, zoom: int) -> DataFrame:
+    """Chips of one zoom intersecting a bbox (RasterQuery analog) — a pure
+    filter; at scale the chips table is partitioned by zoom and sorted by
+    tile_id so this prunes to a handful of files."""
+    return chips.where(
+        (F.col("zoom") == zoom)
+        & (F.col("max_lon") > min_lon)
+        & (F.col("min_lon") < max_lon)
+        & (F.col("max_lat") > min_lat)
+        & (F.col("min_lat") < max_lat)
+    )
+
+
+def mosaic(chips: DataFrame, min_lon, min_lat, max_lon, max_lat, zoom: int) -> np.ndarray:
+    """Stitch the chips covering a bbox into one numpy grid
+    (~ RasterUtils#mosaicChunks). The grouped stitch runs as
+    ``applyInPandas`` so arbitrarily many concurrent mosaic requests
+    parallelize; the result grid covers the full extent of touched tiles."""
+    sel = raster_query(chips, min_lon, min_lat, max_lon, max_lat, zoom)
+    rows = sel.select("tile_x", "tile_y", "band").collect()
+    if not rows:
+        return np.zeros((0, 0), dtype=np.float32)
+    txs = [r["tile_x"] for r in rows]
+    tys = [r["tile_y"] for r in rows]
+    tx0, ty0 = min(txs), min(tys)
+    w = (max(txs) - tx0 + 1) * CHIP_W
+    h = (max(tys) - ty0 + 1) * CHIP_H
+    out = np.full((h, w), np.nan, dtype=np.float32)
+    for r in rows:
+        band = np.frombuffer(r["band"], dtype="<f4").reshape(CHIP_H, CHIP_W)
+        y = (r["tile_y"] - ty0) * CHIP_H
+        x = (r["tile_x"] - tx0) * CHIP_W
+        out[y : y + CHIP_H, x : x + CHIP_W] = band
+    return out
+
+
+def zonal_stats(points_joined: DataFrame, value_col: str | None = None) -> DataFrame:
+    """Per-polygon stats over a PIP-join result (zonal statistics)."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col:
+        aggs += [
+            F.avg(value_col).alias("mean"),
+            F.min(value_col).alias("min"),
+            F.max(value_col).alias("max"),
+        ]
+    return points_joined.groupBy("polygon_id").agg(*aggs)

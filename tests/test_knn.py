@@ -1,0 +1,79 @@
+"""kNN expand-ring join vs exhaustive oracle (GeoMesa
+KNearestNeighborSearchProcessTest shape, FIXTURES.md §8: clusters around
+query points, a query in an empty region, one at the antimeridian)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geomesa_spark.operators import knn as knn_mod
+from geomesa_spark.sources import synth
+from tests.oracle import brute_knn
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def fixture_data():
+    rng_ids = np.arange(30_000, dtype=np.uint64)
+    lon = -180.0 + (synth.hash64(rng_ids).astype(np.float64) / 2.0**64) * 360.0
+    lat = -85.0 + (synth.hash64(rng_ids + np.uint64(1)).astype(np.float64) / 2.0**64) * 170.0
+    queries = pd.DataFrame(
+        {
+            "qid": [0, 1, 2, 3, 4],
+            "lon": [2.351, -74.006, 179.98, 0.0, 120.0],   # paris / nyc / antimeridian / origin / ocean
+            "lat": [48.857, 40.713, 5.0, 0.0, -40.0],
+        }
+    )
+    # dense clusters at 10-500 m around queries 0/1 + decoys at 1-10 km
+    extra_lon, extra_lat = [], []
+    for q in queries.itertuples(index=False):
+        if q.qid > 1:
+            continue
+        for j in range(60):
+            r_m = 10 + (j * 8.3) if j < K else 1000 + j * 150.0
+            ang = j * 0.7
+            extra_lon.append(q.lon + r_m / 111_194.93 * np.cos(ang) / np.cos(np.radians(q.lat)))
+            extra_lat.append(q.lat + r_m / 111_194.93 * np.sin(ang))
+    lon = np.concatenate([lon, extra_lon])
+    lat = np.concatenate([lat, extra_lat])
+    points = pd.DataFrame({"pid": np.arange(len(lon), dtype=np.int64), "lon": lon, "lat": lat})
+    return points, queries
+
+
+@pytest.mark.parametrize("metric", ["haversine", "planar"])
+def test_knn_join_matches_exhaustive_oracle(spark, fixture_data, metric):
+    points, queries = fixture_data
+    df = spark.createDataFrame(points).repartition(8)
+    got = (
+        knn_mod.knn_join(df, queries, K, metric=metric)
+        .toPandas()
+        .sort_values(["qid", "rnk"])
+        .reset_index(drop=True)
+    )
+    want = brute_knn(points, queries, K, metric=metric)
+    assert got[["qid", "pid", "rnk"]].values.tolist() == want[["qid", "pid", "rnk"]].values.tolist()
+    assert np.allclose(got["dist"], want["dist"], rtol=1e-9)
+
+
+def test_knn_crossjoin_variant_matches(spark, fixture_data):
+    points, queries = fixture_data
+    df = spark.createDataFrame(points)
+    qdf = spark.createDataFrame(queries)
+    got = (
+        knn_mod.knn_join_crossjoin(df, qdf, K, metric="planar")
+        .toPandas()
+        .sort_values(["qid", "rnk"])
+        .reset_index(drop=True)
+    )
+    want = brute_knn(points, queries, K, metric="planar")
+    assert got[["qid", "pid", "rnk"]].values.tolist() == want[["qid", "pid", "rnk"]].values.tolist()
+
+
+def test_knn_empty_region_terminates(spark):
+    # 50 points all far from the query; k > available in nearby rings
+    points = pd.DataFrame({"pid": np.arange(50), "lon": np.linspace(-170, -100, 50), "lat": np.full(50, -80.0)})
+    queries = pd.DataFrame({"qid": [9], "lon": [170.0], "lat": [80.0]})
+    got = knn_mod.knn_join(spark.createDataFrame(points), queries, 5, metric="haversine").toPandas()
+    want = brute_knn(points, queries, 5, metric="haversine")
+    assert sorted(got["pid"]) == sorted(want["pid"])
