@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.md protocol).
+
+Runs the headline operator suite at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+prints ONE JSON line::
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "pages_per_sec": ...}
+
+The headline number for BASELINE.json's north rule is ``pages_per_sec``:
+throughput of the full pages pipeline (synthesize Common-Crawl-shaped
+pages → Arrow-UDF geo-entity extraction → gazetteer geocode → broadcast
+PIP join → tile counts). Scaling-efficiency evidence (same job at two
+parallelism levels) is produced by ``bench_scaling.py`` → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "40000"))
+
+BENCH_QUERIES = [
+    "pip_count_broadcast",
+    "pip_count_salted",
+    "knn_expand_ring",
+    "dwithin_planar",
+    "tile_counts_webmercator",
+    "tile_rollup",
+    "density_grid",
+    "z3_week_histogram",
+    "latest_per_user",
+    "pricing_summary",
+    "revenue_by_nation",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "ann_cosine_topk",
+    "quality_scores",
+]
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("geomesa-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def materialize_pages(spark, n_pages: int) -> str:
+    """Synthesize the pages table to parquet once (not timed): the engine
+    metric is pages *processed* per second, reading a stored table — the
+    north-rule shape (Iceberg-style table of web pages)."""
+    from geomesa_spark.sources import synth
+
+    out = f"/tmp/geomesa_bench_pages_{n_pages}"
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        synth.pages(spark, n_pages).write.mode("overwrite").parquet(out)
+    return out
+
+
+def run(spark, sf_dir: str) -> dict:
+    from geomesa_spark import contract
+
+    qs = contract.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+
+    # headline: pages-pipeline throughput (extract → geocode → PIP → tiles)
+    pages_path = materialize_pages(spark, N_PAGES)
+    pages_df = spark.read.parquet(pages_path)
+    t0 = time.perf_counter()
+    n_polygon_rows = contract.pages_pipeline(spark, pages_df=pages_df).count()
+    pages_sec = time.perf_counter() - t0
+    timings["pages_pipeline"] = round(pages_sec, 3)
+    total += pages_sec
+
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return {
+        "metric": "headline suite wall time (pages pipeline + operator queries)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "pages_per_sec": round(N_PAGES / pages_sec, 1),
+        "n_pages": N_PAGES,
+        "cpus": CPUS,
+        "n_polygon_rows": int(n_polygon_rows),
+    }
+
+
+def main():
+    spark = build_spark(CPUS)
+    try:
+        result = run(spark, SF_DIR)
+    finally:
+        spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

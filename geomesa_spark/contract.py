@@ -1,0 +1,1059 @@
+"""Driver-contract queries + DuckDB oracle SQL (SURVEY.md §5.2).
+
+Every implemented operator from SURVEY.md §2 gets a ``queries()`` entry
+(Spark impl) and — where ANSI-SQL-expressible — a bit-exact ``oracle_sql()``
+twin that DuckDB runs on the same parquet tables. Design rules that make
+exact value-hash matches possible (FIXTURES.md §5/§6):
+
+- **Spatialization**: driver tables carry no lon/lat, so points are derived
+  from integer keys with pure integer-mod arithmetic + one double division —
+  identical IEEE-754 results in Spark and DuckDB.
+- **No transcendental-derived floats in checked outputs** except where
+  quantized by ``floor`` (tile indices); distances use the *planar* metric
+  (squared degrees: +,-,* only — bit-exact across engines).
+- **No float sums**: aggregations emit counts / min / max, or sum integer
+  cents (``sum(cast(round(x*100) as bigint))``) — order-independent exact.
+- **Common hash primitive**: ``md5`` (hex-identical in both engines);
+  int64 word hashes via the leading 15 hex digits.
+- Every computed column is aliased identically on both sides; key/count
+  columns are cast to bigint on both sides.
+
+The oracle-SQL strings are *generated* from the same fixture objects
+(polygon edge lists, query points, hash coefficients) the Spark operators
+use, so fixture evolution cannot desynchronize the two sides.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from geomesa_spark.functions import cells as C
+from geomesa_spark.functions import geometry as geo
+from geomesa_spark.operators import knn as K
+from geomesa_spark.operators import spatial_join as SJ
+from geomesa_spark.operators import tiling as T
+from geomesa_spark.sources import synth
+
+# ---------------------------------------------------------------------------
+# worker shipping: UDF closures reference geomesa_spark, which must be
+# importable on executor Python workers regardless of the driver's cwd.
+# This is the spark-submit --py-files path (north_rule), self-applied:
+# zip the package once and addPyFile it to the running session.
+# ---------------------------------------------------------------------------
+
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _build_pyfiles_zip() -> str:
+    out = os.path.join("/tmp", "geomesa_spark_pyfiles.zip")
+    src = os.path.join(_PKG_ROOT, "geomesa_spark")
+    mtimes = [os.path.getmtime(os.path.join(dp, f)) for dp, _, fs in os.walk(src) for f in fs if f.endswith(".py")]
+    if not os.path.exists(out) or os.path.getmtime(out) < max(mtimes):
+        tmp = out + f".{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for dp, _, fs in os.walk(src):
+                for f in fs:
+                    if f.endswith(".py"):
+                        p = os.path.join(dp, f)
+                        z.write(p, os.path.relpath(p, _PKG_ROOT))
+        os.replace(tmp, out)
+    return out
+
+
+def ensure_py_files(spark: SparkSession) -> SparkSession:
+    """Idempotently ship the geomesa_spark package to executor workers."""
+    sc = spark.sparkContext
+    flag = "_geomesa_spark_pyfiles"
+    if not getattr(sc, flag, False):
+        sc.addPyFile(_build_pyfiles_zip())
+        setattr(sc, flag, True)
+    return spark
+
+
+# ---------------------------------------------------------------------------
+# shared fixtures (deterministic, shared by Spark impls and SQL generators)
+# ---------------------------------------------------------------------------
+
+GRID_LEVEL = 8          # join grid for PIP
+DENSITY_LEVEL = 10      # density grid
+COARSE_LEVEL = 4        # z3-histogram coarse cell
+KNN_K = 10
+DWITHIN_DEG = 3.0
+
+KNN_QUERIES = pd.DataFrame(
+    {
+        "qid": np.arange(8, dtype=np.int64),
+        "lon": [2.351, -74.006, 139.692, 0.25, 179.9, -179.85, 10.0, -120.5],
+        "lat": [48.857, 40.713, 35.69, 0.25, -12.0, -12.05, 84.0, -45.25],
+    }
+)
+
+DWITHIN_QUERIES = KNN_QUERIES.iloc[:5].reset_index(drop=True)
+
+LANG_MARKERS = [
+    ("the", "en"), ("data", "en"), ("row", "en"),
+    ("join", "de"), ("merge", "de"), ("sort", "de"),
+    ("filter", "fr"), ("window", "fr"), ("group", "fr"),
+    ("scan", "es"), ("batch", "es"), ("key", "es"),
+    ("table", "zh"), ("query", "zh"), ("stream", "zh"),
+]
+
+JACCARD_THRESHOLD = 0.9
+
+# MinHash: n hashes over word-int h̃ = (md5-int % P); h_i = (a_i*h̃ + b_i) % P
+MINHASH_P = 2147483647
+MINHASH_N = 16
+MINHASH_BAND_ROWS = 4  # 4 bands x 4 rows
+_mh = synth.hash64(np.arange(2 * MINHASH_N, dtype=np.uint64) + np.uint64(101))
+MINHASH_A = (_mh[:MINHASH_N] % np.uint64(MINHASH_P - 1) + np.uint64(1)).astype(np.int64)
+MINHASH_B = (_mh[MINHASH_N:] % np.uint64(MINHASH_P)).astype(np.int64)
+
+ANN_K = 10
+ANN_NQ = 5  # query vectors = vec_id < ANN_NQ
+
+
+def _f(x: float) -> str:
+    """Exact-round-trip SQL literal for a float64 (no scientific notation)."""
+    s = repr(float(x))
+    if "e" in s or "E" in s:
+        s = format(float(x), ".20f").rstrip("0")
+        if s.endswith("."):
+            s += "0"
+    return s
+
+
+# ---------------------------------------------------------------------------
+# point derivation (the FIXTURES.md §6 spatialization rule)
+# ---------------------------------------------------------------------------
+
+POINTS_SQL = (
+    "select event_id as pid, ts, user_id, event_type, value, "
+    "((event_id * 9973) % 360000) / 1000.0 - 180.0 as lon, "
+    "(((event_id * 7919) + 12345) % 170000) / 1000.0 - 85.0 as lat "
+    "from events"
+)
+
+
+def events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    return e.select(
+        eid.alias("pid"),
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        (((eid * 9973) % 360000) / F.lit(1000.0) - F.lit(180.0)).alias("lon"),
+        ((((eid * 7919) + 12345) % 170000) / F.lit(1000.0) - F.lit(85.0)).alias("lat"),
+    )
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# SQL fragment generators (from the same fixtures the engine uses)
+# ---------------------------------------------------------------------------
+
+
+def _edges_cte() -> str:
+    """Polygon edge list as a casts-to-double VALUES CTE."""
+    rows = []
+    for p in synth.polygons():
+        x1, y1, x2, y2 = (a.tolist() for a in geo.polygon_edges(p.coords, p.ring_offsets))
+        for a, b, c, d in zip(x1, y1, x2, y2):
+            rows.append(f"({p.polygon_id},{_f(a)},{_f(b)},{_f(c)},{_f(d)})")
+    values = ",".join(rows)
+    return (
+        "edges as (select cast(polygon_id as bigint) polygon_id, "
+        "cast(x1 as double) x1, cast(y1 as double) y1, "
+        "cast(x2 as double) x2, cast(y2 as double) y2 "
+        f"from (values {values}) v(polygon_id, x1, y1, x2, y2))"
+    )
+
+
+PIP_MATCH_CTE = (
+    "pip as (select p.pid, e.polygon_id from pts p join edges e "
+    "on ((e.y1 > p.lat) <> (e.y2 > p.lat)) "
+    "and p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / nullif(e.y2 - e.y1, 0.0) + e.x1 "
+    "group by p.pid, e.polygon_id having count(*) % 2 = 1)"
+)
+
+
+def _pip_oracle(select: str) -> str:
+    return f"with pts as ({POINTS_SQL}), {_edges_cte()}, {PIP_MATCH_CTE} {select}"
+
+
+def _qpoints_cte(pdf: pd.DataFrame) -> str:
+    rows = ",".join(f"({int(r.qid)},{_f(r.lon)},{_f(r.lat)})" for r in pdf.itertuples(index=False))
+    return (
+        "q as (select cast(qid as bigint) qid, cast(qlon as double) qlon, "
+        f"cast(qlat as double) qlat from (values {rows}) v(qid, qlon, qlat))"
+    )
+
+
+# ===========================================================================
+# the query registry: name -> (spark_fn, oracle_sql | None)
+# ===========================================================================
+
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def _q(name: str, sql: str | None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_py_files(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        _REGISTRY[name] = (wrapped, sql)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# §2.4 spatial joins
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "pip_count_broadcast",
+    _pip_oracle(
+        "select cast(polygon_id as bigint) polygon_id, cast(count(*) as bigint) n "
+        "from pip group by polygon_id order by polygon_id"
+    ),
+)
+def q_pip_count_broadcast(spark, sf_dir):
+    """Broadcast PIP join (GeoMesaSpark#shallowJoin analog) → per-polygon counts."""
+    pts = events_points(spark, sf_dir)
+    j = SJ.broadcast_pip_join(pts, synth.polygons(), level=GRID_LEVEL)
+    return j.groupBy("polygon_id").agg(F.count(F.lit(1)).alias("n")).orderBy("polygon_id")
+
+
+@_q(
+    "pip_count_salted",
+    _pip_oracle(
+        "select cast(polygon_id as bigint) polygon_id, cast(count(*) as bigint) n "
+        "from pip group by polygon_id order by polygon_id"
+    ),
+)
+def q_pip_count_salted(spark, sf_dir):
+    """Grid-partitioned salted SMJ PIP join — identical output to broadcast."""
+    pts = events_points(spark, sf_dir)
+    j = SJ.grid_pip_join(pts, synth.polygons(), level=GRID_LEVEL, point_key_col="pid")
+    return j.groupBy("polygon_id").agg(F.count(F.lit(1)).alias("n")).orderBy("polygon_id")
+
+
+@_q(
+    "pip_semi",
+    _pip_oracle("select distinct pid from pip order by pid"),
+)
+def q_pip_semi(spark, sf_dir):
+    """Left-semi spatial join: points covered by ≥1 polygon."""
+    pts = events_points(spark, sf_dir)
+    j = SJ.broadcast_pip_join(pts, synth.polygons(), level=GRID_LEVEL, how="left_semi", point_key=["pid"])
+    return j.select("pid").orderBy("pid")
+
+
+@_q(
+    "pip_anti_count",
+    _pip_oracle(
+        "select cast(count(*) as bigint) n from pts where pid not in (select pid from pip)"
+    ),
+)
+def q_pip_anti_count(spark, sf_dir):
+    """Left-anti spatial join: count of points covered by no polygon."""
+    pts = events_points(spark, sf_dir)
+    j = SJ.broadcast_pip_join(pts, synth.polygons(), level=GRID_LEVEL, how="left_anti", point_key=["pid"])
+    return j.agg(F.count(F.lit(1)).alias("n"))
+
+
+def _knn_oracle(k: int) -> str:
+    return (
+        f"with pts as ({POINTS_SQL}), {_qpoints_cte(KNN_QUERIES)}, "
+        "d as (select q.qid, p.pid, (p.lon - q.qlon) * (p.lon - q.qlon) "
+        "+ (p.lat - q.qlat) * (p.lat - q.qlat) as dist2 from pts p cross join q) "
+        "select qid, pid, dist2, cast(rnk as bigint) rnk from ("
+        "select *, row_number() over (partition by qid order by dist2, pid) rnk from d) "
+        f"where rnk <= {k} order by qid, rnk"
+    )
+
+
+@_q("knn_expand_ring", _knn_oracle(KNN_K))
+def q_knn_expand_ring(spark, sf_dir):
+    """Grid-partitioned expand-ring kNN join (GeoHashSpiral rewrite)."""
+    pts = events_points(spark, sf_dir)
+    out = K.knn_join(pts, KNN_QUERIES, k=KNN_K, level=GRID_LEVEL, id_col="pid", metric="planar")
+    return out.select(
+        F.col("qid").cast("long"),
+        F.col("pid").cast("long"),
+        F.col("dist").alias("dist2"),
+        F.col("rnk").cast("long"),
+    ).orderBy("qid", "rnk")
+
+
+@_q("knn_crossjoin", _knn_oracle(KNN_K))
+def q_knn_crossjoin(spark, sf_dir):
+    """Declarative kNN: broadcast NL join + ranking window (oracle twin)."""
+    pts = events_points(spark, sf_dir)
+    qdf = spark.createDataFrame(KNN_QUERIES)
+    out = K.knn_join_crossjoin(pts, qdf, k=KNN_K, metric="planar", id_col="pid")
+    return out.select(
+        F.col("qid").cast("long"),
+        F.col("pid").cast("long"),
+        F.col("dist").alias("dist2"),
+        F.col("rnk").cast("long"),
+    ).orderBy("qid", "rnk")
+
+
+@_q(
+    "dwithin_planar",
+    f"with pts as ({POINTS_SQL}), {_qpoints_cte(DWITHIN_QUERIES)} "
+    "select q.qid, p.pid from pts p cross join q "
+    "where (p.lon - q.qlon) * (p.lon - q.qlon) + (p.lat - q.qlat) * (p.lat - q.qlat) "
+    f"<= {_f(DWITHIN_DEG * DWITHIN_DEG)} order by qid, pid",
+)
+def q_dwithin_planar(spark, sf_dir):
+    """Distance (dwithin) join via cell-disk prefilter + exact refine."""
+    pts = events_points(spark, sf_dir)
+    out = SJ.distance_join(pts, DWITHIN_QUERIES, DWITHIN_DEG, level=GRID_LEVEL, metric="planar")
+    return out.select(F.col("qid").cast("long"), F.col("pid").cast("long")).orderBy("qid", "pid")
+
+
+# ---------------------------------------------------------------------------
+# §2.8 tiling / raster↔vector
+# ---------------------------------------------------------------------------
+
+
+def _tile_oracle(zoom: int, scheme: str) -> str:
+    tx = T.tile_x_sql("lon", zoom)
+    ty = T.tile_y_sql("lat", zoom, scheme)
+    return (
+        f"with pts as ({POINTS_SQL}) "
+        f"select cast({zoom} as int) zoom, {tx} tile_x, {ty} tile_y, "
+        "cast(count(*) as bigint) n from pts group by 2, 3 order by tile_x, tile_y"
+    )
+
+
+@_q("tile_counts_equirect", _tile_oracle(6, "equirect"))
+def q_tile_counts_equirect(spark, sf_dir):
+    """Vector→raster density at zoom 6 (equirect scheme, exact arithmetic)."""
+    pts = events_points(spark, sf_dir)
+    out = T.tile_counts(pts, zoom=6, scheme="equirect")
+    return out.select(
+        F.col("zoom").cast("int"), "tile_x", "tile_y", F.col("weight").alias("n")
+    ).orderBy("tile_x", "tile_y")
+
+
+@_q("tile_counts_webmercator", _tile_oracle(7, "webmercator"))
+def q_tile_counts_webmercator(spark, sf_dir):
+    """Slippy-map (Web-Mercator) tile density at zoom 7."""
+    pts = events_points(spark, sf_dir)
+    out = T.tile_counts(pts, zoom=7, scheme="webmercator")
+    return out.select(
+        F.col("zoom").cast("int"), "tile_x", "tile_y", F.col("weight").alias("n")
+    ).orderBy("tile_x", "tile_y")
+
+
+@_q(
+    "tile_rollup",
+    (
+        f"with pts as ({POINTS_SQL}), "
+        f"t6 as (select {T.tile_x_sql('lon', 6)} tile_x, {T.tile_y_sql('lat', 6, 'equirect')} tile_y, "
+        "cast(count(*) as bigint) n from pts group by 1, 2) "
+        "select cast(4 as int) zoom, tile_x // 4 tile_x, tile_y // 4 tile_y, "
+        "cast(sum(n) as bigint) n from t6 group by 2, 3 order by tile_x, tile_y"
+    ),
+)
+def q_tile_rollup(spark, sf_dir):
+    """Tile-pyramid rollup z6 → z4 (integer shifts + re-agg)."""
+    pts = events_points(spark, sf_dir)
+    t6 = T.tile_counts(pts, zoom=6, scheme="equirect")
+    out = T.rollup_tiles(t6, levels=2)
+    return out.select(
+        F.col("zoom").cast("int"), "tile_x", "tile_y", F.col("weight").alias("n")
+    ).orderBy("tile_x", "tile_y")
+
+
+@_q(
+    "tile_diff",
+    (
+        f"with pts as ({POINTS_SQL}), "
+        f"a as (select distinct {T.tile_x_sql('lon', 6)} tile_x, {T.tile_y_sql('lat', 6, 'equirect')} tile_y "
+        "from pts where pid % 2 = 0), "
+        f"b as (select distinct {T.tile_x_sql('lon', 6)} tile_x, {T.tile_y_sql('lat', 6, 'equirect')} tile_y "
+        "from pts where pid % 2 = 1) "
+        "select * from a except select * from b order by tile_x, tile_y"
+    ),
+)
+def q_tile_diff(spark, sf_dir):
+    """Tile-set algebra: tiles touched by even pids but not odd pids (EXCEPT)."""
+    pts = events_points(spark, sf_dir)
+    a = T.with_tile(pts.where(F.col("pid") % 2 == 0), zoom=6, scheme="equirect").select("tile_x", "tile_y").distinct()
+    b = T.with_tile(pts.where(F.col("pid") % 2 == 1), zoom=6, scheme="equirect").select("tile_x", "tile_y").distinct()
+    return a.exceptAll(b).distinct().orderBy("tile_x", "tile_y")
+
+
+@_q(
+    "zonal_minmax",
+    _pip_oracle(
+        "select cast(p.polygon_id as bigint) polygon_id, cast(count(*) as bigint) n, "
+        "min(pts.value) min_val, max(pts.value) max_val "
+        "from pip p join pts on p.pid = pts.pid group by p.polygon_id order by polygon_id"
+    ),
+)
+def q_zonal_minmax(spark, sf_dir):
+    """Zonal statistics: per-polygon count/min/max over the PIP join."""
+    pts = events_points(spark, sf_dir)
+    j = SJ.broadcast_pip_join(pts, synth.polygons(), level=GRID_LEVEL)
+    return (
+        j.groupBy("polygon_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_val"),
+            F.max("value").alias("max_val"),
+        )
+        .orderBy("polygon_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 aggregations / density / stats
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "density_grid",
+    (
+        f"with pts as ({POINTS_SQL}) "
+        f"select {SJ.grid_cell_sql('lon', 'lat', DENSITY_LEVEL)} cell, "
+        "cast(count(*) as bigint) n from pts group by 1 order by cell"
+    ),
+)
+def q_density_grid(spark, sf_dir):
+    """DensityScan analog: per-grid-cell counts at level 10."""
+    pts = events_points(spark, sf_dir)
+    return (
+        SJ.with_grid_cell(pts, level=DENSITY_LEVEL)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cell")
+    )
+
+
+@_q(
+    "z3_week_histogram",
+    (
+        f"with pts as ({POINTS_SQL}) "
+        "select cast(floor(epoch(ts) / 604800) as bigint) as wk, "
+        f"{SJ.grid_cell_sql('lon', 'lat', COARSE_LEVEL)} cell, "
+        "cast(count(*) as bigint) n from pts group by 1, 2 order by wk, cell"
+    ),
+)
+def q_z3_week_histogram(spark, sf_dir):
+    """Z3Histogram analog: space x time (week-epoch) histogram."""
+    pts = events_points(spark, sf_dir)
+    return (
+        pts.withColumn("wk", F.floor(F.unix_timestamp("ts") / F.lit(604800)).cast("long"))
+        .withColumn("cell", SJ.grid_cell_expr("lon", "lat", COARSE_LEVEL))
+        .groupBy("wk", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("wk", "cell")
+    )
+
+
+@_q(
+    "stats_by_lang",
+    (
+        "select lang, cast(count(*) as bigint) n_docs, "
+        "cast(min(n_chars) as bigint) min_chars, cast(max(n_chars) as bigint) max_chars, "
+        "cast(count(distinct source) as bigint) n_sources "
+        "from documents group by lang order by lang"
+    ),
+)
+def q_stats_by_lang(spark, sf_dir):
+    """Stats sketches (MinMax / distinct) grouped by attribute."""
+    d = _load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_q(
+    "topk_event_types",
+    (
+        "select event_type, cast(count(*) as bigint) n from events "
+        "group by event_type order by n desc, event_type limit 5"
+    ),
+)
+def q_topk_event_types(spark, sf_dir):
+    """TopK sketch analog: exact top-5 by count."""
+    e = _load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "event_type")
+        .limit(5)
+    )
+
+
+@_q(
+    "value_histogram",
+    (
+        "select cast(floor(value / 50.0) as bigint) bucket, cast(count(*) as bigint) n "
+        "from events group by 1 order by bucket"
+    ),
+)
+def q_value_histogram(spark, sf_dir):
+    """RangeHistogram analog: equi-width histogram of event values."""
+    e = _load(spark, sf_dir, "events")
+    return (
+        e.withColumn("bucket", F.floor(F.col("value") / F.lit(50.0)).cast("long"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 windows: latest-per-id (Kafka live view), track analytics
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "latest_per_user",
+    (
+        "select user_id, cast(event_id as bigint) last_event_id, cast(n_events as bigint) n_events from ("
+        "select user_id, event_id, "
+        "row_number() over (partition by user_id order by ts desc, event_id desc) rn, "
+        "count(*) over (partition by user_id) n_events from events"
+        ") where rn = 1 order by user_id"
+    ),
+)
+def q_latest_per_user(spark, sf_dir):
+    """Latest-state-per-id (Kafka live-view semantics) via ranking window."""
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    wc = Window.partitionBy("user_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_events", F.count(F.lit(1)).over(wc))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("last_event_id"), F.col("n_events").cast("long"))
+        .orderBy("user_id")
+    )
+
+
+@_q(
+    "track_steps",
+    (
+        f"with pts as ({POINTS_SQL}), s as ("
+        "select user_id, "
+        "(lon - lag(lon) over w) * (lon - lag(lon) over w) "
+        "+ (lat - lag(lat) over w) * (lat - lag(lat) over w) as step2 "
+        "from pts window w as (partition by user_id order by ts, pid)"
+        ") select user_id, cast(count(*) as bigint) n_fixes, max(step2) max_step2 "
+        "from s group by user_id order by user_id"
+    ),
+)
+def q_track_steps(spark, sf_dir):
+    """Track assembly analytics (Point2Point analog): lag-window step distances."""
+    pts = events_points(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "pid")
+    dlon = F.col("lon") - F.lag("lon").over(w)
+    dlat = F.col("lat") - F.lag("lat").over(w)
+    return (
+        pts.withColumn("step2", dlon * dlon + dlat * dlat)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_fixes"), F.max("step2").alias("max_step2"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational core (joins / agg over TPC-H-ish tables) — engine completeness
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "pricing_summary",
+    (
+        "select l_returnflag, l_linestatus, cast(count(*) as bigint) n, "
+        "cast(sum(cast(round(l_quantity * 100) as bigint)) as double) / 100.0 sum_qty, "
+        "cast(sum(cast(round(l_extendedprice * 100) as bigint)) as double) / 100.0 sum_price "
+        "from lineitem group by l_returnflag, l_linestatus order by l_returnflag, l_linestatus"
+    ),
+)
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped scan+agg (exact integer-cents sums)."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("l_quantity") * 100).cast("long")).cast("double") / F.lit(100.0)).alias("sum_qty"),
+            (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("double") / F.lit(100.0)).alias("sum_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_q(
+    "revenue_by_nation",
+    (
+        "select n.n_name, cast(count(*) as bigint) n_orders, "
+        "cast(sum(cast(round(o.o_totalprice * 100) as bigint)) as double) / 100.0 revenue "
+        "from orders o join customer c on o.o_custkey = c.c_custkey "
+        "join nation n on c.c_nationkey = n.n_nationkey "
+        "group by n.n_name order by n.n_name"
+    ),
+)
+def q_revenue_by_nation(spark, sf_dir):
+    """Dim-broadcast join chain orders⋈customer⋈nation + exact agg."""
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    n = _load(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double") / F.lit(100.0)).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@_q(
+    "top_customers_per_nation",
+    (
+        "with co as (select c.c_nationkey, c.c_custkey, cast(count(*) as bigint) n_orders "
+        "from orders o join customer c on o.o_custkey = c.c_custkey "
+        "group by c.c_nationkey, c.c_custkey) "
+        "select cast(c_nationkey as bigint) c_nationkey, c_custkey, n_orders, cast(rnk as bigint) rnk from ("
+        "select *, row_number() over (partition by c_nationkey order by n_orders desc, c_custkey) rnk from co"
+        ") where rnk <= 3 order by c_nationkey, rnk"
+    ),
+)
+def q_top_customers_per_nation(spark, sf_dir):
+    """Per-group top-k ranking window over a join."""
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    co = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("n_orders"), "c_custkey")
+    return (
+        co.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select(F.col("c_nationkey").cast("long"), "c_custkey", "n_orders", "rnk")
+        .orderBy("c_nationkey", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline ops: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_exact",
+    "select min(doc_id) as doc_id from documents group by md5(text) order by doc_id",
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: keep the min doc_id per md5(text) group."""
+    d = _load(spark, sf_dir, "documents")
+    return (
+        d.withColumn("h", F.md5(F.col("text").cast("binary")))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_WORDS_SQL = (
+    "words as (select distinct doc_id, w from ("
+    "select doc_id, unnest(string_split(text, ' ')) w from documents) where w <> '')"
+)
+
+
+@_q(
+    "dedup_jaccard",
+    (
+        f"with {_WORDS_SQL}, "
+        "sizes as (select doc_id, cast(count(*) as bigint) n from words group by doc_id), "
+        "inter as (select a.doc_id da, b.doc_id db, cast(count(*) as bigint) i "
+        "from words a join words b on a.w = b.w and a.doc_id < b.doc_id group by 1, 2) "
+        "select da, db, jac from ("
+        "select da, db, cast(i as double) / (sa.n + sb.n - i) jac from inter "
+        "join sizes sa on da = sa.doc_id join sizes sb on db = sb.doc_id) "
+        f"where jac >= {_f(JACCARD_THRESHOLD)} order by da, db"
+    ),
+)
+def q_dedup_jaccard(spark, sf_dir):
+    """Word-set Jaccard near-dup pairs (exact; MinHash-LSH is the scale path)."""
+    d = _load(spark, sf_dir, "documents")
+    words = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = words.alias("a")
+    b = words.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        inter.join(F.broadcast(sa), F.col("da") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("db") == F.col("sb.doc_id"))
+        .withColumn("jac", F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i")))
+        .where(F.col("jac") >= JACCARD_THRESHOLD)
+        .select("da", "db", "jac")
+        .orderBy("da", "db")
+    )
+    return out
+
+
+_WORD_HASH_SQL = "('0x' || substring(md5(w), 1, 15))::bigint % 2147483647"
+
+
+def _minhash_sig_sql() -> str:
+    """Per-doc MinHash signature values (doc_id, i, sig) in SQL."""
+    coeffs = ",".join(f"({i},{int(MINHASH_A[i])},{int(MINHASH_B[i])})" for i in range(MINHASH_N))
+    return (
+        f"{_WORDS_SQL}, "
+        f"wh as (select doc_id, {_WORD_HASH_SQL} h from words), "
+        f"coef as (select * from (values {coeffs}) v(i, a, b)), "
+        "sig as (select doc_id, cast(i as bigint) i, cast(min((a * h + b) % 2147483647) as bigint) sig "
+        "from wh cross join coef group by doc_id, i)"
+    )
+
+
+@_q(
+    "minhash_signatures",
+    (
+        f"with {_minhash_sig_sql()} "
+        "select doc_id, i, sig from sig order by doc_id, i"
+    ),
+)
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (16 hashes) per document — the LSH building block."""
+    d = _load(spark, sf_dir, "documents")
+    words = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    wh = words.withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10).cast("long") % MINHASH_P
+    )
+    coef = F.broadcast(
+        words.sparkSession.createDataFrame(
+            pd.DataFrame({"i": np.arange(MINHASH_N, dtype=np.int64), "a": MINHASH_A, "b": MINHASH_B})
+        )
+    )
+    return (
+        wh.crossJoin(coef)
+        .groupBy("doc_id", "i")
+        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % MINHASH_P).alias("sig"))
+        .orderBy("doc_id", "i")
+    )
+
+
+@_q(
+    "minhash_lsh_pairs",
+    (
+        f"with {_minhash_sig_sql()}, "
+        f"bands as (select doc_id, i // {MINHASH_BAND_ROWS} band, "
+        "string_agg(cast(sig as varchar), ',' order by i) bsig "
+        f"from sig group by doc_id, i // {MINHASH_BAND_ROWS}) "
+        "select distinct a.doc_id da, b.doc_id db from bands a "
+        "join bands b on a.band = b.band and a.bsig = b.bsig and a.doc_id < b.doc_id "
+        "order by da, db"
+    ),
+)
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs: banded signature equality join."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    bands = (
+        sig.withColumn("band", (F.col("i") / MINHASH_BAND_ROWS).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "sig"))), lambda x: x["sig"].cast("string")
+                ),
+            ).alias("bsig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+        .orderBy("da", "db")
+    )
+
+
+@_q(
+    "ann_cosine_topk",
+    (
+        f"with q as (select vec_id qid, cast(embedding as double[]) qe from embeddings where vec_id < {ANN_NQ}), "
+        f"d as (select q.qid, e.vec_id, round(list_dot_product(cast(e.embedding as double[]), q.qe) "
+        "/ (sqrt(list_dot_product(cast(e.embedding as double[]), cast(e.embedding as double[]))) "
+        "* sqrt(list_dot_product(q.qe, q.qe))), 6) score "
+        "from embeddings e cross join q where e.vec_id <> q.qid) "
+        "select qid, vec_id, score, cast(rnk as bigint) rnk from ("
+        "select *, row_number() over (partition by qid order by score desc, vec_id) rnk from d) "
+        f"where rnk <= {ANN_K} order by qid, rnk"
+    ),
+)
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k over the embeddings table (ANN baseline)."""
+    e = _load(spark, sf_dir, "embeddings").withColumn("de", F.col("embedding").cast("array<double>"))
+    q = (
+        e.where(F.col("vec_id") < ANN_NQ)
+        .select(F.col("vec_id").alias("qid"), F.col("de").alias("qe"))
+    )
+    dot = lambda x, y: F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
+    d = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "score",
+            F.round(
+                dot(F.col("de"), F.col("qe"))
+                / (F.sqrt(dot(F.col("de"), F.col("de"))) * F.sqrt(dot(F.col("qe"), F.col("qe")))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), "vec_id")
+    return (
+        d.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= ANN_K)
+        .select("qid", "vec_id", "score", "rnk")
+        .orderBy("qid", "rnk")
+    )
+
+
+@_q(
+    "lang_id_markers",
+    (
+        "with m as (select * from (values "
+        + ",".join(f"('{w}','{lg}')" for w, lg in LANG_MARKERS)
+        + ") v(w, mlang)), "
+        "tok as (select doc_id, unnest(string_split(text, ' ')) w from documents), "
+        "hits as (select doc_id, mlang, cast(count(*) as bigint) n from tok "
+        "join m on tok.w = m.w group by doc_id, mlang) "
+        "select doc_id, mlang pred_lang, n n_hits from ("
+        "select *, row_number() over (partition by doc_id order by n desc, mlang) rn from hits"
+        ") where rn = 1 order by doc_id"
+    ),
+)
+def q_lang_id_markers(spark, sf_dir):
+    """Language-ID heuristic: marker-word voting (argmax per doc)."""
+    d = _load(spark, sf_dir, "documents")
+    m = F.broadcast(
+        d.sparkSession.createDataFrame(pd.DataFrame(LANG_MARKERS, columns=["w", "mlang"]))
+    )
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    hits = tok.join(m, "w").groupBy("doc_id", "mlang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), "mlang")
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("mlang").alias("pred_lang"), F.col("n").alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "quality_scores",
+    (
+        "select doc_id, cast(length(text) as bigint) n_chars_calc, "
+        "cast(len(list_filter(string_split(text, ' '), x -> x <> '')) as bigint) n_tokens, "
+        "cast(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) as bigint) n_distinct, "
+        "cast(floor((100 * len(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))) "
+        "/ nullif(len(list_filter(string_split(text, ' '), x -> x <> '')), 0)) as bigint) ttr_pct "
+        "from documents order by doc_id"
+    ),
+)
+def q_quality_scores(spark, sf_dir):
+    """Text quality scoring: length / token / type-token-ratio features."""
+    d = _load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n_tok = F.size(toks).cast("long")
+    n_dis = F.size(F.array_distinct(toks)).cast("long")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        n_tok.alias("n_tokens"),
+        n_dis.alias("n_distinct"),
+        F.floor((F.lit(100) * n_dis) / F.nullif(n_tok, F.lit(0))).cast("long").alias("ttr_pct"),
+    ).orderBy("doc_id")
+
+
+@_q(
+    "token_totals",
+    (
+        "select lang, cast(count(*) as bigint) n_docs, "
+        "cast(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) as bigint) total_tokens "
+        "from documents group by lang order by lang"
+    ),
+)
+def q_token_totals(spark, sf_dir):
+    """Token counting rolled up per language."""
+    d = _load(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long")
+    return (
+        d.withColumn("n_tok", n_tok)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("total_tokens"))
+        .orderBy("lang")
+    )
+
+
+@_q(
+    "doc_fingerprints",
+    "select doc_id, substring(md5(text), 1, 16) fp from documents order by doc_id",
+)
+def q_doc_fingerprints(spark, sf_dir):
+    """Document fingerprinting (content hash prefix)."""
+    d = _load(spark, sf_dir, "documents")
+    return d.select("doc_id", F.substring(F.md5(F.col("text").cast("binary")), 1, 16).alias("fp")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# flagship pages pipeline (rows-only: html synthesis is not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+N_PAGES_FLAGSHIP = 2000
+
+
+def pages_pipeline(
+    spark: SparkSession, n_pages: int = N_PAGES_FLAGSHIP, pages_df: DataFrame | None = None
+) -> DataFrame:
+    """The north-star pipeline: Common-Crawl-shaped pages →
+    extract geo-entities (Arrow UDF) → geocode via broadcast gazetteer →
+    S2-encode → broadcast PIP join vs polygons → per-polygon page counts.
+
+    ``pages_df`` lets callers supply an already-stored pages table (the
+    bench protocol reads parquet so synthesis cost isn't measured);
+    otherwise pages are synthesized on the fly."""
+    import pyarrow as pa
+
+    from geomesa_spark.sources.extract import extract_entities_series
+
+    ensure_py_files(spark)
+    pages = pages_df if pages_df is not None else synth.pages(spark, n_pages)
+
+    schema = pa.schema([("url", pa.string()), ("entity", pa.string())])
+
+    def extract(batches):
+        for batch in batches:
+            pdf = batch.to_pandas()
+            ents = extract_entities_series(pdf["html"])
+            out = pd.DataFrame({"url": pdf["url"], "entity": ents}).explode("entity").dropna()
+            yield pa.RecordBatch.from_pandas(out.astype(str), preserve_index=False, schema=schema)
+
+    ents = pages.mapInArrow(extract, "url string, entity string")
+    gaz = F.broadcast(spark.createDataFrame(synth.gazetteer_pdf()).withColumnRenamed("name", "entity"))
+    located = ents.join(gaz, "entity", "inner")
+    joined = SJ.broadcast_pip_join(located, synth.polygons(), level=GRID_LEVEL)
+    return (
+        joined.groupBy("polygon_id")
+        .agg(F.count(F.lit(1)).alias("n_mentions"), F.countDistinct("url").alias("n_pages"))
+        .orderBy("polygon_id")
+    )
+
+
+def _q_pages(name: str):
+    _REGISTRY[name] = (lambda spark, sf_dir: pages_pipeline(spark), None)  # ensure_py_files runs inside
+
+
+_q_pages("pages_pip_pipeline")
+
+
+@_q("pages_s2_cells", None)
+def q_pages_s2_cells(spark, sf_dir):
+    """Pages → entities → S2 level-12 cell histogram (north-rule cells),
+    via an Arrow-batched pandas UDF (rows-only check: S2 math is not SQL)."""
+    import pyarrow as pa
+
+    from geomesa_spark.sources.extract import extract_entities_series
+
+    pages = synth.pages(spark, 500)
+    schema = pa.schema([("url", pa.string()), ("entity", pa.string())])
+
+    def extract(batches):
+        for batch in batches:
+            pdf = batch.to_pandas()
+            ents = extract_entities_series(pdf["html"])
+            out = pd.DataFrame({"url": pdf["url"], "entity": ents}).explode("entity").dropna()
+            yield pa.RecordBatch.from_pandas(out.astype(str), preserve_index=False, schema=schema)
+
+    ents = pages.mapInArrow(extract, "url string, entity string")
+    gaz = F.broadcast(spark.createDataFrame(synth.gazetteer_pdf()).withColumnRenamed("name", "entity"))
+    located = ents.join(gaz, "entity", "inner")
+
+    @F.pandas_udf("long")
+    def s2_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(C.s2_encode(lon.to_numpy(np.float64), lat.to_numpy(np.float64), 12))
+
+    return (
+        located.withColumn("s2_cell", s2_udf("lon", "lat"))
+        .groupBy("s2_cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "s2_cell")
+    )
+
+
+# ---------------------------------------------------------------------------
+# public contract surface
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_fn, sql) in _REGISTRY.items() if sql is not None}
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    return pages_pipeline(spark, N_PAGES_FLAGSHIP)

@@ -74,12 +74,23 @@ def grid_cell_sql(lon_expr: str, lat_expr: str, level: int) -> str:
 # ---------------------------------------------------------------------------
 
 
+_COVER_CACHE: dict[tuple[int, int], pd.DataFrame] = {}
+
+
 def polygon_cover_pdf(polys: list[Polygon], level: int = DEFAULT_LEVEL) -> pd.DataFrame:
     """(cell, polygon_id, full) rows: every grid cell whose box intersects
     the polygon; ``full`` marks cells wholly inside (refine skippable).
     Exactness: box-vs-polygon intersection test is exact (vertex-in-box,
     corner-in-polygon, edge-crosses-box), so the cover is a tight superset
-    — never a false negative (SURVEY.md §4 two-phase contract)."""
+    — never a false negative (SURVEY.md §4 two-phase contract).
+
+    Memoized per (polygon-list identity, level): the fixture polygon list
+    is process-cached (synth.polygons lru_cache), so repeated joins reuse
+    the driver-side cover instead of recomputing it."""
+    key = (id(polys), level)
+    cached = _COVER_CACHE.get(key)
+    if cached is not None:
+        return cached[1]  # cached[0] pins the list so its id stays valid
     rows_cell, rows_pid, rows_full = [], [], []
     for p in polys:
         bx0, by0, bx1, by1 = geo.polygon_bbox(p.coords)
@@ -95,7 +106,9 @@ def polygon_cover_pdf(polys: list[Polygon], level: int = DEFAULT_LEVEL) -> pd.Da
             rows_cell.append(int(cell))
             rows_pid.append(p.polygon_id)
             rows_full.append(bool(corners_in and not edge_hits))
-    return pd.DataFrame({"cell": np.asarray(rows_cell, dtype=np.int64), "polygon_id": np.asarray(rows_pid, dtype=np.int64), "full": rows_full})
+    out = pd.DataFrame({"cell": np.asarray(rows_cell, dtype=np.int64), "polygon_id": np.asarray(rows_pid, dtype=np.int64), "full": rows_full})
+    _COVER_CACHE[key] = (polys, out)
+    return out
 
 
 def make_pip_refine(polys: list[Polygon]):
@@ -239,26 +252,46 @@ def distance_join(
     lon_col: str = "lon",
     lat_col: str = "lat",
     level: int = DEFAULT_LEVEL,
+    metric: str = "haversine",
 ) -> DataFrame:
-    """dwithin join: points within radius_m of any query point
+    """dwithin join: points within radius of any query point
     (ProximitySearchProcess semantics). queries_pdf: (qid, lon, lat) —
-    small, broadcast. Cell-disk prefilter + exact haversine (Catalyst
-    expression, JVM-side)."""
+    small, broadcast. Cell-disk prefilter + exact distance (Catalyst
+    expression, JVM-side).
+
+    ``metric='haversine'``: radius in meters, output ``dist_m``.
+    ``metric='planar'``: radius in DEGREES, output ``dist2`` (squared
+    degrees) — exact float64 arithmetic, bit-reproducible in the DuckDB
+    oracle (SURVEY.md §5.2).
+    """
     spark = points.sparkSession
     nx, ny = C.grid_shape(level)
+    if metric == "planar":
+        radius_m_equiv = radius_m * 111_194.93  # degrees → meters for cell sizing
+    else:
+        radius_m_equiv = radius_m
     cell_h_m = 180.0 / ny * 111_194.93
     rows = []
     for q in queries_pdf.itertuples(index=False):
         # radius in cells, padded by one; lon width shrinks by cos(lat)
         coslat = max(np.cos(np.radians(min(abs(q.lat) + 180.0 / ny, 89.9))), 1e-6)
-        rx = int(radius_m / (360.0 / nx * 111_194.93 * coslat)) + 1
-        ry = int(radius_m / cell_h_m) + 1
+        if metric == "planar":
+            rx = int(radius_m / (360.0 / nx)) + 1
+            ry = int(radius_m / (180.0 / ny)) + 1
+        else:
+            rx = int(radius_m_equiv / (360.0 / nx * 111_194.93 * coslat)) + 1
+            ry = int(radius_m_equiv / cell_h_m) + 1
         center = int(C.grid_encode(np.array([q.lon]), np.array([q.lat]), level)[0])
         for cell in C.grid_disk(center, max(rx, ry), level):
             rows.append((int(cell), q.qid, float(q.lon), float(q.lat)))
     cand_cells = spark.createDataFrame(pd.DataFrame(rows, columns=["cell", "qid", "q_lon", "q_lat"]))
     pts = with_grid_cell(points, lon_col, lat_col, level)
     joined = pts.join(F.broadcast(cand_cells), "cell", "inner")
+    if metric == "planar":
+        from geomesa_spark.operators.knn import planar_dist2_expr
+
+        dist = planar_dist2_expr("q_lon", "q_lat", lon_col, lat_col)
+        return joined.withColumn("dist2", dist).where(F.col("dist2") <= radius_m * radius_m).drop("cell")
     dist = haversine_expr(lon_col, lat_col, "q_lon", "q_lat")
     return joined.withColumn("dist_m", dist).where(F.col("dist_m") <= radius_m).drop("cell")
 

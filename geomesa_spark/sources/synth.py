@@ -17,6 +17,8 @@ its doc_ids.
 
 from __future__ import annotations
 
+import functools
+
 from dataclasses import dataclass
 
 import numpy as np
@@ -103,10 +105,14 @@ def _box(lon0, lat0, w, h) -> np.ndarray:
     return geo.make_bbox_ring(lon0, lat0, lon0 + w, lat0 + h)
 
 
+@functools.lru_cache(maxsize=1)
 def polygons() -> list[Polygon]:
     """Deterministic fixture polygon set: 150 grid boxes (GeoMesa
     SparkSQLSpatialRelationshipsTest box-grid shape), 25 concave U-shapes,
-    10 with holes, 3 hot-city covers (skew), 6 edge cases."""
+    10 with holes, 3 hot-city covers (skew), 6 edge cases.
+
+    Cached (same list object per process) so downstream cover computations
+    can memoize on identity. Callers must not mutate the result."""
     out: list[Polygon] = []
     pid = 0
 
