@@ -1,0 +1,130 @@
+"""Structured-Streaming tests (SURVEY.md §2.9, FIXTURES.md §9):
+micro-batched pages stream → dedupe live view, stream-static gazetteer
+join + windowed cell counts, foreachBatch → manifest ingest with
+restart idempotence."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from geomesa_spark.sources import manifest as M
+from geomesa_spark.sources import synth
+from geomesa_spark.streaming import live
+
+N_BATCHES = 5
+PAGES_PER_BATCH = 60
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    """Micro-batch directories with duplicate urls across batches:
+    batch k re-emits the last 10 doc_ids of batch k-1 (redelivery)."""
+    d = str(tmp_path_factory.mktemp("pages_stream"))
+    for k in range(N_BATCHES):
+        start = k * PAGES_PER_BATCH
+        ids = np.arange(start, start + PAGES_PER_BATCH, dtype=np.uint64)
+        if k > 0:
+            dup = np.arange(start - 10, start, dtype=np.uint64)
+            ids = np.concatenate([dup, ids])
+        pdf = synth.pages_pdf(ids)
+        pdf.to_parquet(os.path.join(d, f"batch-{k:03d}.parquet"), index=False)
+    return d
+
+
+def _run_stream(df, name, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_live_view_dedupes_redeliveries(spark, stream_dir):
+    stream = live.read_pages_stream(spark, stream_dir)
+    q = _run_stream(live.live_view(stream, ttl="365 days"), "live_view_t")
+    out = spark.sql("select * from live_view_t").toPandas()
+    total = N_BATCHES * PAGES_PER_BATCH
+    assert len(out) == total  # redelivered urls dropped
+    assert out["url"].nunique() == total
+    q.stop()
+
+
+def test_replay_window(spark, stream_dir):
+    full = live.replay(spark, stream_dir, "2025-01-01", "2026-01-01").toPandas()
+    t1, t2 = "2025-03-01", "2025-06-01"
+    part = live.replay(spark, stream_dir, t1, t2).toPandas()
+    expect = full[(full["warc_ts"] >= pd.Timestamp(t1)) & (full["warc_ts"] <= pd.Timestamp(t2))]
+    assert sorted(part["url"]) == sorted(expect["url"])
+    assert 0 < len(part) < len(full)
+
+
+def test_windowed_cell_counts_stream_static_join(spark, stream_dir):
+    """Stream-static join: pages stream → explode entities (batch-identical
+    extraction UDF) → broadcast gazetteer geocode → windowed cell counts."""
+    stream = live.read_pages_stream(spark, stream_dir)
+    gaz = F.broadcast(
+        spark.createDataFrame(synth.gazetteer_pdf()).withColumnRenamed("name", "entity")
+    )
+    ents = (
+        stream.withColumn(
+            "entity",
+            F.explode(F.expr(r"regexp_extract_all(cast(html as string), 'data-name=\"([^\"]+)\"', 1)")),
+        )
+        .join(gaz, "entity")
+    )
+    counted = live.windowed_cell_counts(ents, window="7 days", level=6, watermark="365 days")
+    q = _run_stream(counted, "cell_counts_t", mode="complete")
+    out = spark.sql("select * from cell_counts_t").toPandas()
+    q.stop()
+
+    # batch oracle: same pipeline, batch read
+    batch = spark.read.schema(live.PAGES_SCHEMA).parquet(stream_dir)
+    b_ents = (
+        batch.withColumn(
+            "entity",
+            F.explode(F.expr(r"regexp_extract_all(cast(html as string), 'data-name=\"([^\"]+)\"', 1)")),
+        )
+        .join(gaz, "entity")
+    )
+    from geomesa_spark.operators.spatial_join import grid_cell_expr
+
+    b = (
+        b_ents.withColumn("cell", grid_cell_expr("lon", "lat", 6))
+        .groupBy(F.window("warc_ts", "7 days").alias("win"), "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "cell", "n")
+        .toPandas()
+    )
+    a = out[["win_start", "cell", "n"]].sort_values(["win_start", "cell"]).reset_index(drop=True)
+    b = b.sort_values(["win_start", "cell"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_stream_to_table_commits_and_restart_is_idempotent(spark, stream_dir, tmp_path):
+    root = str(tmp_path / "stream_tbl")
+    stream = live.read_pages_stream(spark, stream_dir)
+    q = live.stream_to_table(stream.select("url", "warc_ts", "lang"), root, "pages")
+    q.awaitTermination(120)
+    q.stop()
+    parts1 = M.completed_partitions(root, "pages")
+    assert len(parts1) == N_BATCHES
+    rows1 = M.read_table(spark, root, "pages").count()
+    assert rows1 == N_BATCHES * PAGES_PER_BATCH + (N_BATCHES - 1) * 10
+
+    # restart with same checkpoint: no new input → no duplicate commits
+    stream2 = live.read_pages_stream(spark, stream_dir)
+    q2 = live.stream_to_table(stream2.select("url", "warc_ts", "lang"), root, "pages")
+    q2.awaitTermination(60)
+    q2.stop()
+    assert M.completed_partitions(root, "pages") == parts1
+    assert M.read_table(spark, root, "pages").count() == rows1
