@@ -1008,6 +1008,41 @@ def _q_pages(name: str):
 _q_pages("pages_pip_pipeline")
 
 
+@_q("pages_hex_cells", None)
+def q_pages_hex_cells(spark, sf_dir):
+    """Pages → entities → aperture-7 hex res-7 cell histogram (the
+    H3-semantics layer; rows-only — hex math is not SQL-expressible)."""
+    import pyarrow as pa
+
+    from geomesa_spark.functions import hexgrid as H
+    from geomesa_spark.sources.extract import extract_entities_series
+
+    pages = synth.pages(spark, 500)
+    schema = pa.schema([("url", pa.string()), ("entity", pa.string())])
+
+    def extract(batches):
+        for batch in batches:
+            pdf = batch.to_pandas()
+            ents = extract_entities_series(pdf["html"])
+            out = pd.DataFrame({"url": pdf["url"], "entity": ents}).explode("entity").dropna()
+            yield pa.RecordBatch.from_pandas(out.astype(str), preserve_index=False, schema=schema)
+
+    ents = pages.mapInArrow(extract, "url string, entity string")
+    gaz = F.broadcast(spark.createDataFrame(synth.gazetteer_pdf()).withColumnRenamed("name", "entity"))
+    located = ents.join(gaz, "entity", "inner")
+
+    @F.pandas_udf("long")
+    def hex_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(H.hex_encode(lon.to_numpy(np.float64), lat.to_numpy(np.float64), 7))
+
+    return (
+        located.withColumn("hex7", hex_udf("lon", "lat"))
+        .groupBy("hex7")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "hex7")
+    )
+
+
 @_q("pages_s2_cells", None)
 def q_pages_s2_cells(spark, sf_dir):
     """Pages → entities → S2 level-12 cell histogram (north-rule cells),

@@ -300,6 +300,16 @@ def st_s2(lon: pd.Series, lat: pd.Series, level: pd.Series) -> pd.Series:
     return pd.Series(C.s2_encode(lon.to_numpy(np.float64), lat.to_numpy(np.float64), lv))
 
 
+@F.pandas_udf(LongType())
+def st_hexCell(lon: pd.Series, lat: pd.Series, res: pd.Series) -> pd.Series:
+    """Icosahedral aperture-7 hex cell (H3-semantics; see functions/hexgrid.py
+    for why ids are not numerically Uber-H3)."""
+    from geomesa_spark.functions import hexgrid as H
+
+    r = int(res.iloc[0]) if len(res) else 7
+    return pd.Series(H.hex_encode(lon.to_numpy(np.float64), lat.to_numpy(np.float64), r))
+
+
 ALL_FUNCTIONS = {
     "st_point": st_point,
     "st_makeBBOX": st_makeBBOX,
@@ -325,6 +335,7 @@ ALL_FUNCTIONS = {
     "st_z2": st_z2,
     "st_z3": st_z3,
     "st_s2": st_s2,
+    "st_hexCell": st_hexCell,
 }
 
 
