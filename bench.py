@@ -58,7 +58,17 @@ def build_spark(cpus: int):
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+        # GC-log forensics (see BENCH/BASELINE.md): Spark codegen grows
+        # Metaspace past its default threshold, and each "Metadata GC
+        # Threshold" full GC on this VM pauses 13-15 s. Pre-sizing
+        # Metaspace + G1 (concurrent class unloading, no full GCs) takes
+        # total GC pause from ~38 s/run to ~1 s/run. A 12g heap beats 24g:
+        # lazily-grown heap pages fault slowly on this hypervisor.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UseG1GC -XX:MetaspaceSize=512m -XX:MaxMetaspaceSize=2g",
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -73,7 +83,8 @@ def materialize_pages(spark, n_pages: int) -> str:
     out = f"/tmp/geomesa_bench_pages_{n_pages}"
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
-        synth.pages(spark, n_pages).write.mode("overwrite").parquet(out)
+        parts = max(32, min(512, n_pages // 10000))
+        synth.pages(spark, n_pages, partitions=parts).write.mode("overwrite").parquet(out)
     return out
 
 

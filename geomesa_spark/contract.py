@@ -587,6 +587,161 @@ def q_track_steps(spark, sf_dir):
     )
 
 
+TRACK_EPOCH = 1704067200  # 2024-01-01T00:00:00Z (events table year)
+TRACK_PDF = pd.DataFrame(
+    {
+        "fix_id": np.arange(12, dtype=np.int64),
+        "lon": [-100.0 + 15.0 * i for i in range(12)],
+        "lat": [-40.0 + 7.5 * i for i in range(12)],
+        "ts_sec": [TRACK_EPOCH + i * 30 * 86400 for i in range(12)],
+    }
+)
+TUBE_RADIUS_DEG = 6.0
+TUBE_TOL_SEC = 20 * 86400
+
+
+def _track_cte() -> str:
+    rows = ",".join(
+        f"({int(r.fix_id)},{_f(r.lon)},{_f(r.lat)},{int(r.ts_sec)})" for r in TRACK_PDF.itertuples(index=False)
+    )
+    return (
+        "track as (select cast(fix_id as bigint) fix_id, cast(t_lon as double) t_lon, "
+        "cast(t_lat as double) t_lat, cast(t_sec as bigint) t_sec "
+        f"from (values {rows}) v(fix_id, t_lon, t_lat, t_sec))"
+    )
+
+
+@_q(
+    "tube_select",
+    (
+        f"with pts as ({POINTS_SQL}), {_track_cte()} "
+        "select p.pid, t.fix_id from pts p join track t on "
+        "(p.lon - t.t_lon) * (p.lon - t.t_lon) + (p.lat - t.t_lat) * (p.lat - t.t_lat) "
+        f"<= {_f(TUBE_RADIUS_DEG * TUBE_RADIUS_DEG)} "
+        f"and abs(cast(floor(epoch(p.ts)) as bigint) - t.t_sec) <= {TUBE_TOL_SEC} "
+        "order by pid, fix_id"
+    ),
+)
+def q_tube_select(spark, sf_dir):
+    """Spatio-temporal corridor join (TubeSelectProcess analog)."""
+    from geomesa_spark.operators import tube as TU
+
+    pts = events_points(spark, sf_dir).withColumn("ts_sec", F.unix_timestamp("ts"))
+    out = TU.tube_select(pts, TRACK_PDF, TUBE_RADIUS_DEG, TUBE_TOL_SEC, level=GRID_LEVEL)
+    return out.select(F.col("pid").cast("long"), F.col("fix_id").cast("long")).orderBy("pid", "fix_id")
+
+
+@_q(
+    "asof_track_join",
+    (
+        f"with pts as ({POINTS_SQL}), {_track_cte()}, "
+        "j as (select p.pid, t.fix_id, "
+        "row_number() over (partition by p.pid order by t.t_sec desc, t.fix_id desc) rn "
+        "from pts p join track t on t.t_sec <= cast(floor(epoch(p.ts)) as bigint)) "
+        "select pid, fix_id from j where rn = 1 order by pid"
+    ),
+)
+def q_asof_track_join(spark, sf_dir):
+    """As-of join: last track fix at-or-before each point's timestamp."""
+    from geomesa_spark.operators import tube as TU
+
+    pts = events_points(spark, sf_dir).withColumn("ts_sec", F.unix_timestamp("ts"))
+    out = TU.asof_join(pts, TRACK_PDF)
+    return out.select(F.col("pid").cast("long"), F.col("fix_id").cast("long")).orderBy("pid")
+
+
+@_q(
+    "sample_deterministic",
+    (
+        f"with pts as ({POINTS_SQL}) "
+        "select pid from pts where (pid * 2654435761) % 100 < 5 order by pid"
+    ),
+)
+def q_sample_deterministic(spark, sf_dir):
+    """Repeatable hash-based sampling (SamplingIterator analog;
+    TABLESAMPLE REPEATABLE semantics via exact integer arithmetic)."""
+    pts = events_points(spark, sf_dir)
+    return pts.where((F.col("pid") * 2654435761) % 100 < 5).select("pid").orderBy("pid")
+
+
+@_q(
+    "track_endpoints",
+    (
+        f"with pts as ({POINTS_SQL}), r as ("
+        "select user_id, pid, "
+        "row_number() over (partition by user_id order by ts, pid) rf, "
+        "row_number() over (partition by user_id order by ts desc, pid desc) rl, "
+        "count(*) over (partition by user_id) n from pts) "
+        "select user_id, "
+        "max(case when rf = 1 then pid end) first_pid, "
+        "max(case when rl = 1 then pid end) last_pid, "
+        "cast(max(n) as bigint) n_fixes "
+        "from r group by user_id order by user_id"
+    ),
+)
+def q_track_endpoints(spark, sf_dir):
+    """Track assembly endpoints (Point2Point analog): first/last fix per
+    track id under (ts, pid) ordering."""
+    pts = events_points(spark, sf_dir)
+    wf = Window.partitionBy("user_id").orderBy("ts", "pid")
+    wl = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("pid"))
+    wc = Window.partitionBy("user_id")
+    return (
+        pts.withColumn("rf", F.row_number().over(wf))
+        .withColumn("rl", F.row_number().over(wl))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("rf") == 1, F.col("pid"))).alias("first_pid"),
+            F.max(F.when(F.col("rl") == 1, F.col("pid"))).alias("last_pid"),
+            F.max("n").cast("long").alias("n_fixes"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_q("raster_chips_query", None)
+def q_raster_chips_query(spark, sf_dir):
+    """Raster chip query (RasterQuery analog): fixture chip pyramid →
+    bbox+zoom filter (rows-only: the chip fixture is numpy-generated)."""
+    chips = spark.createDataFrame(T.chips_pdf())
+    sel = T.raster_query(chips, -15.0, -10.0, 15.0, 10.0, zoom=T.pick_zoom([5, 7, 9], 0.02))
+    return sel.select("tile_id", "zoom", "tile_x", "tile_y").orderBy("tile_id")
+
+
+@_q("bin_export", None)
+def q_bin_export(spark, sf_dir):
+    """BIN viz-export (BinAggregatingIterator analog): pack
+    (pid:int64, ts_sec:int64, lon:f32, lat:f32) into 24-byte records via
+    a vectorized Arrow pass; rows-only (binary packing is not SQL)."""
+    import pyarrow as pa
+
+    pts = events_points(spark, sf_dir).select(
+        "pid", F.unix_timestamp("ts").alias("ts_sec"), "lon", "lat"
+    )
+
+    def pack(batches):
+        schema = pa.schema([("pid", pa.int64()), ("bin", pa.binary())])
+        for batch in batches:
+            pdf = batch.to_pandas()
+            rec = np.zeros(len(pdf), dtype=[("pid", "<i8"), ("ts", "<i8"), ("lon", "<f4"), ("lat", "<f4")])
+            rec["pid"] = pdf["pid"]
+            rec["ts"] = pdf["ts_sec"]
+            rec["lon"] = pdf["lon"]
+            rec["lat"] = pdf["lat"]
+            buf = rec.tobytes()
+            out = pd.DataFrame(
+                {"pid": pdf["pid"], "bin": [buf[i * 24 : (i + 1) * 24] for i in range(len(pdf))]}
+            )
+            yield pa.RecordBatch.from_pandas(out, preserve_index=False, schema=schema)
+
+    packed = pts.mapInArrow(pack, "pid long, bin binary")
+    return packed.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.length("bin")).alias("total_bytes"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational core (joins / agg over TPC-H-ish tables) — engine completeness
 # ---------------------------------------------------------------------------
@@ -786,20 +941,29 @@ def q_minhash_signatures(spark, sf_dir):
     )
 
 
+MINHASH_BUCKET_CAP = 64  # skip over-full LSH buckets (low-information bands)
+
+
 @_q(
     "minhash_lsh_pairs",
     (
         f"with {_minhash_sig_sql()}, "
         f"bands as (select doc_id, i // {MINHASH_BAND_ROWS} band, "
         "string_agg(cast(sig as varchar), ',' order by i) bsig "
-        f"from sig group by doc_id, i // {MINHASH_BAND_ROWS}) "
-        "select distinct a.doc_id da, b.doc_id db from bands a "
-        "join bands b on a.band = b.band and a.bsig = b.bsig and a.doc_id < b.doc_id "
-        "order by da, db"
+        f"from sig group by doc_id, i // {MINHASH_BAND_ROWS}), "
+        "sized as (select *, count(*) over (partition by band, bsig) bn from bands) "
+        f"select distinct a.doc_id da, b.doc_id db from sized a "
+        "join sized b on a.band = b.band and a.bsig = b.bsig and a.doc_id < b.doc_id "
+        f"where a.bn <= {MINHASH_BUCKET_CAP} order by da, db"
     ),
 )
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash-LSH candidate pairs: banded signature equality join."""
+    """MinHash-LSH candidate pairs: banded signature equality join.
+
+    Buckets larger than MINHASH_BUCKET_CAP are skipped — a band shared by
+    that many documents carries no near-dup signal (on web-scale corpora
+    such buckets are boilerplate clusters), and the cap bounds the
+    otherwise-quadratic pair blowup. Deterministic and oracle-mirrored."""
     sig = q_minhash_signatures(spark, sf_dir)
     bands = (
         sig.withColumn("band", (F.col("i") / MINHASH_BAND_ROWS).cast("long"))
@@ -813,8 +977,12 @@ def q_minhash_lsh_pairs(spark, sf_dir):
             ).alias("bsig")
         )
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    w = Window.partitionBy("band", "bsig")
+    sized = bands.withColumn("bn", F.count(F.lit(1)).over(w)).where(
+        F.col("bn") <= MINHASH_BUCKET_CAP
+    )
+    a = sized.alias("a")
+    b = sized.alias("b")
     return (
         a.join(
             b,
@@ -964,22 +1132,16 @@ def q_doc_fingerprints(spark, sf_dir):
 N_PAGES_FLAGSHIP = 2000
 
 
-def pages_pipeline(
-    spark: SparkSession, n_pages: int = N_PAGES_FLAGSHIP, pages_df: DataFrame | None = None
-) -> DataFrame:
-    """The north-star pipeline: Common-Crawl-shaped pages →
-    extract geo-entities (Arrow UDF) → geocode via broadcast gazetteer →
-    S2-encode → broadcast PIP join vs polygons → per-polygon page counts.
+def extract_entities_df(pages: DataFrame) -> DataFrame:
+    """pages → (url, entity) via the Arrow-batched extraction UDF.
 
-    ``pages_df`` lets callers supply an already-stored pages table (the
-    bench protocol reads parquet so synthesis cost isn't measured);
-    otherwise pages are synthesized on the fly."""
+    Column-prunes to (url, html) BEFORE the mapInArrow boundary: Arrow
+    ships only what the UDF reads (the text column alone is ~1 KB/row —
+    leaving it in doubles JVM↔Python traffic and JVM garbage; event-log
+    profiling showed the GC cost dominating the stage)."""
     import pyarrow as pa
 
     from geomesa_spark.sources.extract import extract_entities_series
-
-    ensure_py_files(spark)
-    pages = pages_df if pages_df is not None else synth.pages(spark, n_pages)
 
     schema = pa.schema([("url", pa.string()), ("entity", pa.string())])
 
@@ -990,12 +1152,87 @@ def pages_pipeline(
             out = pd.DataFrame({"url": pdf["url"], "entity": ents}).explode("entity").dropna()
             yield pa.RecordBatch.from_pandas(out.astype(str), preserve_index=False, schema=schema)
 
-    ents = pages.mapInArrow(extract, "url string, entity string")
-    gaz = F.broadcast(spark.createDataFrame(synth.gazetteer_pdf()).withColumnRenamed("name", "entity"))
-    located = ents.join(gaz, "entity", "inner")
-    joined = SJ.broadcast_pip_join(located, synth.polygons(), level=GRID_LEVEL)
+    return pages.select("url", "html").mapInArrow(extract, "url string, entity string")
+
+
+def fused_pip_stage(level: int = GRID_LEVEL):
+    """Factory for the FUSED pages→(url, polygon_id) Arrow stage: extract
+    entities, gazetteer-geocode (pandas merge against the broadcast-sized
+    gazetteer in the closure), grid-cell encode, cover merge, and
+    vectorized PIP refine — all inside ONE mapInArrow pass.
+
+    Why fusion: the declarative composition (mapInArrow extract →
+    Catalyst broadcast joins → pandas_udf refine) crosses the JVM↔Python
+    Arrow boundary twice per row; profiling on local[32] showed the
+    boundary (worker dispatch + row↔Arrow conversion), not compute,
+    dominating the stage. One crossing makes the stage scale like the raw
+    Python work. Semantically identical to the unfused path
+    (equality-tested in tests/test_contract.py)."""
+    from geomesa_spark.functions import geometry as geo
+    from geomesa_spark.sources.extract import extract_entities_series
+
+    gaz_idx = synth.gazetteer_pdf().set_index("name")
+    polys = synth.polygons()
+    covers = SJ.polygon_cover_pdf(polys, level)
+    geoms = {p.polygon_id: (p.coords, p.ring_offsets) for p in polys}
+
+    def fused(batches):
+        import pyarrow as pa
+
+        schema = pa.schema([("url", pa.string()), ("polygon_id", pa.int64())])
+        for batch in batches:
+            pdf = batch.to_pandas()
+            ents = extract_entities_series(pdf["html"])
+            e = pd.DataFrame({"url": pdf["url"], "entity": ents}).explode("entity").dropna()
+            j = e.join(gaz_idx, on="entity", how="inner")
+            cell = C.grid_encode(j["lon"].to_numpy(np.float64), j["lat"].to_numpy(np.float64), level)
+            j = j.assign(cell=cell).merge(covers, on="cell", how="inner")
+            lon = j["lon"].to_numpy(np.float64)
+            lat = j["lat"].to_numpy(np.float64)
+            pid = j["polygon_id"].to_numpy(np.int64)
+            full = j["full"].to_numpy(bool)
+            keep = full.copy()
+            for p in np.unique(pid[~full]):
+                m = (~full) & (pid == p)
+                c, o = geoms[int(p)]
+                keep[m] = geo.points_in_polygon(lon[m], lat[m], c, o)
+            out = j.loc[keep, ["url", "polygon_id"]]
+            yield pa.RecordBatch.from_pandas(out, preserve_index=False, schema=schema)
+
+    return fused
+
+
+def pages_pipeline(
+    spark: SparkSession,
+    n_pages: int = N_PAGES_FLAGSHIP,
+    pages_df: DataFrame | None = None,
+    fused: bool = True,
+) -> DataFrame:
+    """The north-star pipeline: Common-Crawl-shaped pages →
+    extract geo-entities (Arrow UDF) → geocode via broadcast gazetteer →
+    grid-encode → PIP join vs polygons → per-polygon page counts.
+
+    ``pages_df`` lets callers supply an already-stored pages table (the
+    bench protocol reads parquet so synthesis cost isn't measured);
+    otherwise pages are synthesized on the fly. ``fused=True`` (default)
+    runs the single-Arrow-crossing stage (see fused_pip_stage);
+    ``fused=False`` keeps the declarative Catalyst-join composition —
+    same rows either way."""
+    ensure_py_files(spark)
+    pages = pages_df if pages_df is not None else synth.pages(spark, n_pages)
+    if fused:
+        matched = pages.select("url", "html").mapInArrow(
+            fused_pip_stage(GRID_LEVEL), "url string, polygon_id long"
+        )
+    else:
+        ents = extract_entities_df(pages)
+        gaz = F.broadcast(
+            spark.createDataFrame(synth.gazetteer_pdf()).withColumnRenamed("name", "entity")
+        )
+        located = ents.join(gaz, "entity", "inner")
+        matched = SJ.broadcast_pip_join(located, synth.polygons(), level=GRID_LEVEL)
     return (
-        joined.groupBy("polygon_id")
+        matched.groupBy("polygon_id")
         .agg(F.count(F.lit(1)).alias("n_mentions"), F.countDistinct("url").alias("n_pages"))
         .orderBy("polygon_id")
     )
@@ -1012,22 +1249,9 @@ _q_pages("pages_pip_pipeline")
 def q_pages_hex_cells(spark, sf_dir):
     """Pages → entities → aperture-7 hex res-7 cell histogram (the
     H3-semantics layer; rows-only — hex math is not SQL-expressible)."""
-    import pyarrow as pa
-
     from geomesa_spark.functions import hexgrid as H
-    from geomesa_spark.sources.extract import extract_entities_series
 
-    pages = synth.pages(spark, 500)
-    schema = pa.schema([("url", pa.string()), ("entity", pa.string())])
-
-    def extract(batches):
-        for batch in batches:
-            pdf = batch.to_pandas()
-            ents = extract_entities_series(pdf["html"])
-            out = pd.DataFrame({"url": pdf["url"], "entity": ents}).explode("entity").dropna()
-            yield pa.RecordBatch.from_pandas(out.astype(str), preserve_index=False, schema=schema)
-
-    ents = pages.mapInArrow(extract, "url string, entity string")
+    ents = extract_entities_df(synth.pages(spark, 500))
     gaz = F.broadcast(spark.createDataFrame(synth.gazetteer_pdf()).withColumnRenamed("name", "entity"))
     located = ents.join(gaz, "entity", "inner")
 
@@ -1047,21 +1271,7 @@ def q_pages_hex_cells(spark, sf_dir):
 def q_pages_s2_cells(spark, sf_dir):
     """Pages → entities → S2 level-12 cell histogram (north-rule cells),
     via an Arrow-batched pandas UDF (rows-only check: S2 math is not SQL)."""
-    import pyarrow as pa
-
-    from geomesa_spark.sources.extract import extract_entities_series
-
-    pages = synth.pages(spark, 500)
-    schema = pa.schema([("url", pa.string()), ("entity", pa.string())])
-
-    def extract(batches):
-        for batch in batches:
-            pdf = batch.to_pandas()
-            ents = extract_entities_series(pdf["html"])
-            out = pd.DataFrame({"url": pdf["url"], "entity": ents}).explode("entity").dropna()
-            yield pa.RecordBatch.from_pandas(out.astype(str), preserve_index=False, schema=schema)
-
-    ents = pages.mapInArrow(extract, "url string, entity string")
+    ents = extract_entities_df(synth.pages(spark, 500))
     gaz = F.broadcast(spark.createDataFrame(synth.gazetteer_pdf()).withColumnRenamed("name", "entity"))
     located = ents.join(gaz, "entity", "inner")
 

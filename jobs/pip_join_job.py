@@ -44,24 +44,10 @@ def main() -> None:
 
     def make_chunk(spark_, part: str):
         k = int(part)
-        import pandas as pd
-        import pyarrow as pa
-
-        from geomesa_spark.sources.extract import extract_entities_series
-
         pages = synth.pages(spark_, chunk_size).withColumn(
             "url", F.concat(F.lit(f"c{k}-"), F.col("url"))
         )
-        schema = pa.schema([("url", pa.string()), ("entity", pa.string())])
-
-        def extract(batches):
-            for batch in batches:
-                pdf = batch.to_pandas()
-                ents = extract_entities_series(pdf["html"])
-                out = pd.DataFrame({"url": pdf["url"], "entity": ents}).explode("entity").dropna()
-                yield pa.RecordBatch.from_pandas(out.astype(str), preserve_index=False, schema=schema)
-
-        ents = pages.mapInArrow(extract, "url string, entity string")
+        ents = contract.extract_entities_df(pages)
         gaz = F.broadcast(
             spark_.createDataFrame(synth.gazetteer_pdf()).withColumnRenamed("name", "entity")
         )
