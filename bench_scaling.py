@@ -11,8 +11,9 @@ story with GC logs and raw-CPU control experiments is written to
 BENCH/BASELINE.md):
 
 - Workload: the FUSED pages pipeline (contract.fused_pip_stage) over a
-  12M-page stored parquet table (~4.4 GB) — large enough that compute
-  dominates the per-stage dispatch constants.
+  24M-page stored parquet table (~8.8 GB) — large enough that compute
+  dominates the per-stage dispatch constants (at 120k pages the whole
+  job is ~1 s and the comparison measures scheduler constants).
 - Levels: **N = local[2] vs 4N = local[8]** — the regime where this
   VM's hardware actually provides 4x capacity. Control experiments show
   the 8→32 regime is memory-bandwidth-capped at the HARDWARE level
@@ -40,7 +41,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "12000000"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "24000000"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 LEVELS = (2, 8)
 SECONDARY_LEVELS = (32,)
@@ -146,8 +147,8 @@ this sandbox) by the same job at two parallelism levels on one machine.
 Workload: fused pages pipeline (extract geo-entities -> gazetteer geocode
 -> grid-cell encode -> PIP refine, single Arrow crossing; see
 `geomesa_spark/contract.py::fused_pip_stage`) over a stored
-{N_PAGES:,}-page parquet table (~4.4 GB). Fresh JVM per level; input
-coalesced to 3x cores; {REPEATS} runs; MIN taken (runs converge
+{N_PAGES:,}-page parquet table. Fresh JVM per level; input
+coalesced to 3x cores; {REPEATS} runs per JVM x 2 JVMs; MIN taken (runs converge
 monotonically as the JIT warms — min = steady-state capability).
 
 | level | pipeline sec (min) | all runs | pages/sec |
