@@ -68,7 +68,12 @@ def _build_pyfiles_zip() -> str:
 
 
 def ensure_py_files(spark: SparkSession) -> SparkSession:
-    """Idempotently ship the geomesa_spark package to executor workers."""
+    """Idempotently ship the geomesa_spark package to executor workers.
+
+    No-op when the package itself was loaded from a ``--py-files`` zip
+    (spark-submit already distributed it; there is no source dir to walk)."""
+    if not os.path.isdir(os.path.join(_PKG_ROOT, "geomesa_spark")):
+        return spark
     sc = spark.sparkContext
     flag = "_geomesa_spark_pyfiles"
     if not getattr(sc, flag, False):
