@@ -1001,6 +1001,99 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+SIMHASH_BITS = 16
+
+
+@_q(
+    "simhash_fingerprints",
+    (
+        f"with {_WORDS_SQL}, "
+        f"wh as (select doc_id, {_WORD_HASH_SQL} h from words), "
+        "bits as (select doc_id, b.i, "
+        "sum(case when (h // (1 << b.i)) % 2 = 1 then 1 else -1 end) s "
+        f"from wh cross join (select unnest(range({SIMHASH_BITS})) i) b group by doc_id, b.i) "
+        "select doc_id, cast(sum(case when s > 0 then (1 << i) else 0 end) as bigint) simhash "
+        "from bits group by doc_id order by doc_id"
+    ),
+)
+def q_simhash_fingerprints(spark, sf_dir):
+    """SimHash document fingerprints: per bit, the sign of the sum of
+    ±1 votes from each distinct word's hash bit — near-dup docs differ
+    in few bits (Hamming-distance dedup). Exact integer arithmetic."""
+    d = _load(spark, sf_dir, "documents")
+    words = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    wh = words.withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10).cast("long") % MINHASH_P
+    )
+    bits_idx = F.broadcast(
+        d.sparkSession.createDataFrame(pd.DataFrame({"i": np.arange(SIMHASH_BITS, dtype=np.int64)}))
+    )
+    pow2 = "cast(pow(2, i) as bigint)"  # exact for i <= 15
+    bits = (
+        wh.crossJoin(bits_idx)
+        .withColumn("vote", F.expr(f"case when (h div {pow2}) % 2 = 1 then 1 else -1 end"))
+        .groupBy("doc_id", "i")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return (
+        bits.withColumn("bit", F.expr(f"case when s > 0 then {pow2} else 0 end"))
+        .groupBy("doc_id")
+        .agg(F.sum("bit").cast("long").alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+EMBED_NEARDUP_THRESHOLD = 0.95
+
+
+@_q(
+    "embed_neardup_pairs",
+    (
+        "with e as (select vec_id, cast(embedding as double[]) de from embeddings), "
+        "n as (select vec_id, de, sqrt(list_dot_product(de, de)) nrm from e) "
+        "select a.vec_id va, b.vec_id vb, "
+        "round(list_dot_product(a.de, b.de) / (a.nrm * b.nrm), 6) cos "
+        "from n a join n b on a.vec_id < b.vec_id "
+        f"where round(list_dot_product(a.de, b.de) / (a.nrm * b.nrm), 6) >= {_f(EMBED_NEARDUP_THRESHOLD)} "
+        "order by va, vb"
+    ),
+)
+def q_embed_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (brute pairwise at test
+    scale; the LSH-bucketed path is ann_lsh_topk). Rounded cosine keeps
+    the threshold comparison bit-stable across engines."""
+    e = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("de")
+    )
+    dot = lambda x, y: F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
+    n = e.withColumn("nrm", F.sqrt(dot(F.col("de"), F.col("de"))))
+    a, b = n.alias("a"), n.alias("b")
+    cos = F.round(dot(F.col("a.de"), F.col("b.de")) / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= EMBED_NEARDUP_THRESHOLD)
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"), "cos")
+        .orderBy("va", "vb")
+    )
+
+
+@_q("ann_lsh_topk", None)
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate nearest neighbors: random-hyperplane
+    SimHash over embeddings → candidates sharing a band bucket → exact
+    cosine re-rank. The scale path for ANN (rows-only; verified against
+    the brute-force baseline in tests/test_ann.py)."""
+    from geomesa_spark.operators.ann import ann_lsh_topk
+
+    e = _load(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(e, n_queries=ANN_NQ, k=ANN_K)
+
+
 @_q(
     "ann_cosine_topk",
     (

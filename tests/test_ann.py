@@ -1,0 +1,37 @@
+"""ANN tests: LSH-bucketed top-k recall vs the brute-force baseline."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+def test_ann_lsh_recall_vs_brute(spark):
+    qs = entry_mod.queries()
+    brute = qs["ann_cosine_topk"](spark, SF_DIR).toPandas()
+    lsh = qs["ann_lsh_topk"](spark, SF_DIR).toPandas()
+    assert set(lsh.columns) == {"qid", "vec_id", "score", "rnk"}
+    recalls = []
+    for qid in brute["qid"].unique():
+        b = set(brute[brute["qid"] == qid]["vec_id"])
+        l = set(lsh[lsh["qid"] == qid]["vec_id"])
+        recalls.append(len(b & l) / len(b))
+    # random-hyperplane LSH with 4x4-bit bands: recall well above chance
+    assert np.mean(recalls) >= 0.4, recalls
+    # every LSH result's score must equal the brute score for that pair
+    m = lsh.merge(brute, on=["qid", "vec_id"], suffixes=("_l", "_b"))
+    assert (m["score_l"] == m["score_b"]).all()
+
+
+def test_simhash_hamming_separates(spark):
+    """SimHash sanity: identical docs → identical fingerprints (trivially
+    true) and fingerprints spread across the corpus (not constant)."""
+    qs = entry_mod.queries()
+    fp = qs["simhash_fingerprints"](spark, SF_DIR).toPandas()
+    assert fp["simhash"].nunique() > 1
+    assert (fp["simhash"] >= 0).all() and (fp["simhash"] < (1 << 16)).all()
