@@ -705,6 +705,28 @@ def q_track_endpoints(spark, sf_dir):
     )
 
 
+@_q("stats_sketches", None)
+def q_stats_sketches(spark, sf_dir):
+    """Distributed sketch aggregations (KryoLazyStatsIterator analog):
+    HLL++ cardinality (approx_count_distinct), count-min-sketch frequency
+    of event types, exact min/max — per week bucket. Rows-only: sketch
+    encodings are engine-specific by nature."""
+    pts = events_points(spark, sf_dir)
+    cms = F.expr("hex(count_min_sketch(event_type, 0.01d, 0.95d, 42))")
+    return (
+        pts.withColumn("wk", F.floor(F.unix_timestamp("ts") / F.lit(604800)).cast("long"))
+        .groupBy("wk")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.min("value").alias("min_val"),
+            F.max("value").alias("max_val"),
+            F.length(cms).alias("cms_hex_len"),
+        )
+        .orderBy("wk")
+    )
+
+
 @_q("raster_chips_query", None)
 def q_raster_chips_query(spark, sf_dir):
     """Raster chip query (RasterQuery analog): fixture chip pyramid →
