@@ -188,11 +188,19 @@ def hex_parent(cell, parent_res: int | None = None) -> np.ndarray:
     containing this cell's center."""
     cell = np.asarray(cell, dtype=np.int64)
     res = hex_res(cell)
-    pr = parent_res if parent_res is not None else int(res.max()) - 1
-    if pr < 0:
-        raise ValueError("parent of res-0 cell")
     lon, lat = hex_center(cell)
-    return hex_encode(lon, lat, pr)
+    if parent_res is not None:
+        if parent_res < 0:
+            raise ValueError("parent of res-0 cell")
+        return hex_encode(lon, lat, parent_res)
+    # default: each cell's own res-1 (inputs may mix resolutions)
+    if (res < 1).any():
+        raise ValueError("parent of res-0 cell")
+    out = np.empty(cell.shape, dtype=np.int64)
+    for r in np.unique(res):
+        m = res == r
+        out[m] = hex_encode(lon[m], lat[m], int(r) - 1)
+    return out
 
 
 def k_ring(cell: int, k: int) -> np.ndarray:

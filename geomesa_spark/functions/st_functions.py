@@ -275,11 +275,29 @@ def st_asGeoJSON(wkt: pd.Series) -> pd.Series:
     return _per_unique(wkt, gj, object)
 
 
+def _group_by_param(param: pd.Series, fn):
+    """Run ``fn(mask, int_value)`` once per unique parameter value in the
+    batch — supports non-constant precision/level/resolution columns
+    (each group is still a vectorized numpy call)."""
+    vals = param.to_numpy()
+    out = None
+    for v in pd.unique(vals):
+        m = vals == v
+        res = fn(m, int(v))
+        if out is None:
+            out = np.empty(len(vals), dtype=np.asarray(res).dtype if not isinstance(res, list) else object)
+        out[m] = res
+    return out if out is not None else np.empty(0)
+
+
 @F.pandas_udf(StringType())
 def st_geoHash(lon: pd.Series, lat: pd.Series, precision: pd.Series) -> pd.Series:
-    p = int(precision.iloc[0]) if len(precision) else 9
-    gh = C.geohash_encode(lon.to_numpy(np.float64), lat.to_numpy(np.float64), p)
-    return pd.Series([g.decode() for g in gh])
+    lon_v, lat_v = lon.to_numpy(np.float64), lat.to_numpy(np.float64)
+
+    def enc(m, p):
+        return [g.decode() for g in C.geohash_encode(lon_v[m], lat_v[m], p)]
+
+    return pd.Series(_group_by_param(precision, enc))
 
 
 @F.pandas_udf(LongType())
@@ -296,8 +314,8 @@ def st_z3(lon: pd.Series, lat: pd.Series, ts_seconds: pd.Series) -> pd.Series:
 
 @F.pandas_udf(LongType())
 def st_s2(lon: pd.Series, lat: pd.Series, level: pd.Series) -> pd.Series:
-    lv = int(level.iloc[0]) if len(level) else 12
-    return pd.Series(C.s2_encode(lon.to_numpy(np.float64), lat.to_numpy(np.float64), lv))
+    lon_v, lat_v = lon.to_numpy(np.float64), lat.to_numpy(np.float64)
+    return pd.Series(_group_by_param(level, lambda m, lv: C.s2_encode(lon_v[m], lat_v[m], lv)))
 
 
 @F.pandas_udf(LongType())
@@ -306,8 +324,8 @@ def st_hexCell(lon: pd.Series, lat: pd.Series, res: pd.Series) -> pd.Series:
     for why ids are not numerically Uber-H3)."""
     from geomesa_spark.functions import hexgrid as H
 
-    r = int(res.iloc[0]) if len(res) else 7
-    return pd.Series(H.hex_encode(lon.to_numpy(np.float64), lat.to_numpy(np.float64), r))
+    lon_v, lat_v = lon.to_numpy(np.float64), lat.to_numpy(np.float64)
+    return pd.Series(_group_by_param(res, lambda m, r: H.hex_encode(lon_v[m], lat_v[m], r)))
 
 
 ALL_FUNCTIONS = {

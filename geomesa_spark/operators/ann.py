@@ -40,13 +40,18 @@ def with_lsh_bands(
     dim: int | None = None,
 ) -> DataFrame:
     """Add exploded (band, band_key) rows per vector (the LSH index)."""
-    first = df.select(F.size(emb_col)).first()
-    d = dim or int(first[0])
-    planes = _hyperplanes(d, nbits)
+    if dim is None:
+        first = df.select(F.size(emb_col)).first()
+        if first is None or first[0] is None:  # empty input: no bands to build
+            return df.withColumn("band", F.lit(0)).withColumn("band_key", F.lit(0)).limit(0)
+        dim = int(first[0])
+    planes = _hyperplanes(dim, nbits)
     n_bands = nbits // band_bits
 
     @F.pandas_udf("array<long>")
     def band_keys(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
         m = np.stack(emb.to_numpy())  # (batch, dim) float32
         bits = (m.astype(np.float64) @ planes.T) > 0.0  # (batch, nbits)
         keys = np.zeros((len(m), n_bands), dtype=np.int64)
@@ -72,18 +77,28 @@ def ann_lsh_topk(
     emb_col: str = "embedding",
 ) -> DataFrame:
     """Top-k cosine neighbors per query (query set = lowest n_queries
-    ids), candidates restricted to LSH band-bucket collisions."""
+    ids), candidates restricted to LSH band-bucket collisions.
+
+    Shuffle discipline: the band join and the candidate ``distinct`` run
+    on bare (qid, id) pairs — embedding arrays are attached AFTER dedupe
+    (data side by one id equi-join, query side broadcast), so no stage
+    shuffles full vectors for rows that dedupe away."""
     e = embeddings.select(id_col, F.col(emb_col).cast("array<double>").alias("de"))
     banded = with_lsh_bands(e, "de", nbits, band_bits)
-    q = banded.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("qid"), F.col("de").alias("qe"), "band", "band_key"
+    q_bands = banded.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"), "band", "band_key"
     )
-    cand = (
-        banded.join(q, ["band", "band_key"])
+    cand_ids = (
+        banded.select(id_col, "band", "band_key")
+        .join(F.broadcast(q_bands), ["band", "band_key"])
         .where(F.col(id_col) != F.col("qid"))
-        .select("qid", "qe", id_col, "de")
+        .select("qid", id_col)
         .distinct()
     )
+    q_emb = e.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"), F.col("de").alias("qe")
+    )
+    cand = cand_ids.join(e, id_col).join(F.broadcast(q_emb), "qid")
     dot = lambda x, y: F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
     scored = cand.withColumn(
         "score",

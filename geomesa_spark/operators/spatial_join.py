@@ -74,7 +74,21 @@ def grid_cell_sql(lon_expr: str, lat_expr: str, level: int) -> str:
 # ---------------------------------------------------------------------------
 
 
-_COVER_CACHE: dict[tuple[int, int], pd.DataFrame] = {}
+_COVER_CACHE: "dict[tuple[str, int], pd.DataFrame]" = {}
+_COVER_CACHE_MAX = 16  # small LRU — long-lived drivers must not pin covers
+
+
+def _polys_fingerprint(polys: list[Polygon]) -> str:
+    """Content hash of a polygon list (id + coords bytes) — cache key that
+    neither pins the list nor aliases transient ids."""
+    import hashlib
+
+    h = hashlib.md5()
+    for p in polys:
+        h.update(np.int64(p.polygon_id).tobytes())
+        h.update(np.ascontiguousarray(p.coords, dtype=np.float64).tobytes())
+        h.update(np.ascontiguousarray(p.ring_offsets, dtype=np.int64).tobytes())
+    return h.hexdigest()
 
 
 def polygon_cover_pdf(polys: list[Polygon], level: int = DEFAULT_LEVEL) -> pd.DataFrame:
@@ -84,13 +98,14 @@ def polygon_cover_pdf(polys: list[Polygon], level: int = DEFAULT_LEVEL) -> pd.Da
     corner-in-polygon, edge-crosses-box), so the cover is a tight superset
     — never a false negative (SURVEY.md §4 two-phase contract).
 
-    Memoized per (polygon-list identity, level): the fixture polygon list
-    is process-cached (synth.polygons lru_cache), so repeated joins reuse
-    the driver-side cover instead of recomputing it."""
-    key = (id(polys), level)
+    Memoized per (content fingerprint, level) in a small LRU, so repeated
+    joins reuse the driver-side cover without leaking geometry for the
+    process lifetime."""
+    key = (_polys_fingerprint(polys), level)
     cached = _COVER_CACHE.get(key)
     if cached is not None:
-        return cached[1]  # cached[0] pins the list so its id stays valid
+        _COVER_CACHE[key] = _COVER_CACHE.pop(key)  # refresh LRU position
+        return cached
     rows_cell, rows_pid, rows_full = [], [], []
     for p in polys:
         bx0, by0, bx1, by1 = geo.polygon_bbox(p.coords)
@@ -107,7 +122,9 @@ def polygon_cover_pdf(polys: list[Polygon], level: int = DEFAULT_LEVEL) -> pd.Da
             rows_pid.append(p.polygon_id)
             rows_full.append(bool(corners_in and not edge_hits))
     out = pd.DataFrame({"cell": np.asarray(rows_cell, dtype=np.int64), "polygon_id": np.asarray(rows_pid, dtype=np.int64), "full": rows_full})
-    _COVER_CACHE[key] = (polys, out)
+    _COVER_CACHE[key] = out
+    while len(_COVER_CACHE) > _COVER_CACHE_MAX:
+        _COVER_CACHE.pop(next(iter(_COVER_CACHE)))
     return out
 
 

@@ -7,6 +7,7 @@ import os
 import numpy as np
 
 import __spark_entry__ as entry_mod
+from pyspark.sql import functions as F
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 
@@ -35,3 +36,13 @@ def test_simhash_hamming_separates(spark):
     fp = qs["simhash_fingerprints"](spark, SF_DIR).toPandas()
     assert fp["simhash"].nunique() > 1
     assert (fp["simhash"] >= 0).all() and (fp["simhash"] < (1 << 16)).all()
+
+
+def test_ann_lsh_empty_input(spark):
+    from geomesa_spark.operators.ann import ann_lsh_topk, with_lsh_bands
+
+    e = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    banded = with_lsh_bands(e.select("vec_id", F.col("embedding").cast("array<double>").alias("de")), "de")
+    assert banded.count() == 0
+    out = ann_lsh_topk(e)
+    assert out.count() == 0

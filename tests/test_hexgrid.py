@@ -92,3 +92,21 @@ def test_hot_city_single_cell():
         jitter = np.linspace(-0.001, 0.001, 50)
         cells = H.hex_encode(lon + jitter, lat + jitter, 7)
         assert len(np.unique(cells)) <= 2  # tight cluster, at most a boundary split
+
+
+def test_parent_mixed_resolutions_uses_each_cells_own_res():
+    from geomesa_spark.functions import hexgrid as H
+
+    lon = np.array([2.351, 2.351, -74.006])
+    lat = np.array([48.857, 48.857, 40.713])
+    c7 = H.hex_encode(lon[:1], lat[:1], 7)
+    c5 = H.hex_encode(lon[1:2], lat[1:2], 5)
+    c9 = H.hex_encode(lon[2:], lat[2:], 9)
+    mixed = np.concatenate([c7, c5, c9])
+    parents = H.hex_parent(mixed)
+    assert list(H.hex_res(parents)) == [6, 4, 8]  # each cell's own res-1
+    # and each parent contains its child's center
+    for child, par in zip(mixed, parents):
+        lo, la = H.hex_center(np.array([child]))
+        again = H.hex_encode(lo, la, int(H.hex_res(np.array([par]))[0]))
+        assert int(again[0]) == int(par)
