@@ -45,7 +45,42 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "ann_cosine_topk",
     "quality_scores",
+    # round 2 additions
+    "pip_count_bigpoly",
+    "asof_track_join",
+    "simhash_neardup_pairs",
+    "ann_lsh_topk",
+    "mosaic_multi",
+    "regional_supplier_revenue",
 ]
+
+
+def bench_diff(current: dict) -> dict | None:
+    """Per-query delta vs the latest BENCH_r{N}.json in the repo (the
+    driver records one per round) — makes regressions visible round-over-
+    round without digging through artifacts."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    if not rounds:
+        return None
+    n, path = max(rounds)
+    try:
+        prev = json.load(open(path)).get("parsed") or {}
+    except Exception:
+        return None
+    prev_q = prev.get("queries") or {}
+    delta = {}
+    for name, sec in current.items():
+        if name in prev_q and isinstance(prev_q[name], (int, float)) and prev_q[name] > 0 and isinstance(sec, (int, float)):
+            delta[name] = round((sec - prev_q[name]) / prev_q[name] * 100.0, 1)
+    return {"prev_round": n, "delta_pct": delta}
 
 
 def build_spark(cpus: int):
@@ -122,7 +157,9 @@ def run(spark, sf_dir: str) -> dict:
         total += dt
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    diff = bench_diff(timings)
     return {
+        **({"diff_vs_prev": diff} if diff else {}),
         "metric": "headline suite wall time (pages pipeline + operator queries)",
         "value": round(total, 3),
         "unit": "sec",

@@ -260,6 +260,31 @@ def q_pip_count_salted(spark, sf_dir):
 
 
 @_q(
+    "pip_count_bigpoly",
+    _pip_oracle(
+        "select cast(polygon_id as bigint) polygon_id, cast(count(*) as bigint) n "
+        "from pip group by polygon_id order by polygon_id"
+    ),
+)
+def q_pip_count_bigpoly(spark, sf_dir):
+    """Stored-polygon-table PIP join (XZ2-extents analog): the polygon
+    side is a WKT DataFrame whose cell-cover index is computed ON
+    EXECUTORS (mapInPandas), joined big×big on cell, refined from the WKT
+    column — no driver-side cover. Output identical to the broadcast and
+    salted paths (same oracle)."""
+    pts = events_points(spark, sf_dir)
+    poly_pdf = pd.DataFrame(
+        {
+            "polygon_id": [p.polygon_id for p in synth.polygons()],
+            "wkt": [geo.wkt_polygon_exact(p.coords, p.ring_offsets) for p in synth.polygons()],
+        }
+    )
+    poly_df = spark.createDataFrame(poly_pdf)
+    j = SJ.pip_join_stored(pts, poly_df, level=GRID_LEVEL)
+    return j.groupBy("polygon_id").agg(F.count(F.lit(1)).alias("n")).orderBy("polygon_id")
+
+
+@_q(
     "pip_semi",
     _pip_oracle("select distinct pid from pip order by pid"),
 )
@@ -736,6 +761,32 @@ def q_raster_chips_query(spark, sf_dir):
     return sel.select("tile_id", "zoom", "tile_x", "tile_y").orderBy("tile_id")
 
 
+@_q("mosaic_multi", None)
+def q_mosaic_multi(spark, sf_dir):
+    """Distributed multi-request mosaic: 3 concurrent bbox+zoom requests
+    stitched executor-side via groupBy(request_id).applyInPandas — no
+    driver-side collect of chips (rows-only: fixture chips are
+    numpy-generated; pointwise goldens live in tests/test_tiling.py)."""
+    chips = spark.createDataFrame(T.chips_pdf())
+    reqs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "request_id": [0, 1, 2],
+                "min_lon": [-15.0, 0.0, -28.0],
+                "min_lat": [-10.0, -5.0, 10.0],
+                "max_lon": [15.0, 25.0, -10.0],
+                "max_lat": [10.0, 15.0, 19.0],
+                "zoom": [7, 5, 9],
+            }
+        )
+    )
+    out = T.mosaic_requests(chips, reqs)
+    return out.select(
+        "request_id", "tile_x0", "tile_y0", "width", "height",
+        F.substring(F.md5("grid"), 1, 16).alias("grid_md5"),
+    ).orderBy("request_id")
+
+
 @_q("bin_export", None)
 def q_bin_export(spark, sf_dir):
     """BIN viz-export (BinAggregatingIterator analog): pack
@@ -850,6 +901,76 @@ def q_top_customers_per_nation(spark, sf_dir):
         .where(F.col("rnk") <= 3)
         .select(F.col("c_nationkey").cast("long"), "c_custkey", "n_orders", "rnk")
         .orderBy("c_nationkey", "rnk")
+    )
+
+
+@_q(
+    "regional_supplier_revenue",
+    (
+        "select n.n_name, cast(count(*) as bigint) n_items, "
+        "cast(sum(cast(round(l.l_extendedprice * (1 - l.l_discount) * 100) as bigint)) as double) / 100.0 revenue "
+        "from lineitem l "
+        "join orders o on l.l_orderkey = o.o_orderkey "
+        "join customer c on o.o_custkey = c.c_custkey "
+        "join supplier s on l.l_suppkey = s.s_suppkey "
+        "join nation n on s.s_nationkey = n.n_nationkey "
+        "join region r on n.n_regionkey = r.r_regionkey "
+        "where r.r_name = 'ASIA' and c.c_nationkey = s.s_nationkey "
+        "group by n.n_name order by n.n_name"
+    ),
+)
+def q_regional_supplier_revenue(spark, sf_dir):
+    """TPC-H Q5-shaped 6-table join (lineitem⋈orders⋈customer⋈supplier⋈
+    nation⋈region, local-supplier predicate, exact integer-cents revenue).
+    Dims (supplier, customer, nation, region) broadcast; the only shuffle
+    is lineitem⋈orders on orderkey."""
+    l = _load(spark, sf_dir, "lineitem")
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    s = _load(spark, sf_dir, "supplier")
+    n = _load(spark, sf_dir, "nation")
+    r = _load(spark, sf_dir, "region")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where((F.col("r_name") == "ASIA") & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(cents).cast("double") / F.lit(100.0)).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@_q(
+    "brand_part_stats",
+    (
+        "select p.p_brand, cast(count(*) as bigint) n_lineitems, "
+        "cast(sum(cast(round(l.l_quantity * 100) as bigint)) as double) / 100.0 total_qty, "
+        "cast(count(distinct l.l_suppkey) as bigint) n_suppliers "
+        "from lineitem l join part p on l.l_partkey = p.p_partkey "
+        "group by p.p_brand order by p.p_brand"
+    ),
+)
+def q_brand_part_stats(spark, sf_dir):
+    """Part-dimension rollup (lineitem⋈part broadcast join): per-brand
+    lineitem counts, exact quantity sums, distinct supplier counts."""
+    l = _load(spark, sf_dir, "lineitem")
+    p = _load(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            (F.sum(F.round(F.col("l_quantity") * 100).cast("long")).cast("double") / F.lit(100.0)).alias("total_qty"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+        .orderBy("p_brand")
     )
 
 
@@ -1023,6 +1144,114 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# exact polygon-pair relations (round-2: the poly×poly st_* kernel, oracled)
+# ---------------------------------------------------------------------------
+
+N_RELATION_POLYS = 8
+
+
+def _relation_pair_fixture():
+    """(pairs, geoms): deterministic polygon pairs in general position
+    (translations by non-round fractions of each bbox — no collinear
+    contact), exercising overlap / disjoint / cross-polygon cases.
+
+    geoms: {gid: (coords, ring_offsets)}; pairs: [(pair_id, gid_a, gid_b)].
+    """
+    polys = synth.polygons()[:N_RELATION_POLYS]
+    geoms: dict[int, tuple] = {}
+    pairs: list[tuple[int, int, int]] = []
+    gid = 0
+    ids = {}
+    for p in polys:
+        geoms[gid] = (p.coords, p.ring_offsets)
+        ids[p.polygon_id] = gid
+        gid += 1
+    pair_id = 0
+    for i, p in enumerate(polys):
+        bx0, by0, bx1, by1 = geo.polygon_bbox(p.coords)
+        w, h = (bx1 - bx0) or 1.0, (by1 - by0) or 1.0
+        near = p.coords + np.array([0.37 * w, 0.23 * h])
+        far = p.coords + np.array([3.1 * w, 2.7 * h])
+        for shifted in (near, far):
+            geoms[gid] = (shifted, p.ring_offsets)
+            pairs.append((pair_id, ids[p.polygon_id], gid))
+            pair_id += 1
+            gid += 1
+        q = polys[(i + 1) % len(polys)]
+        pairs.append((pair_id, ids[p.polygon_id], ids[q.polygon_id]))
+        pair_id += 1
+    return pairs, geoms
+
+
+def _relation_oracle_sql() -> str:
+    """Edge-cross + vertex-parity intersects over the pair fixture —
+    the SAME float64 expressions the numpy kernel evaluates."""
+    pairs, geoms = _relation_pair_fixture()
+    edge_rows, vert_rows = [], []
+    for g, (coords, offs) in geoms.items():
+        x1, y1, x2, y2 = (a.tolist() for a in geo.polygon_edges(coords, offs))
+        for a, b, c, d in zip(x1, y1, x2, y2):
+            edge_rows.append(f"({g},{_f(a)},{_f(b)},{_f(c)},{_f(d)})")
+        for vid, (x, y) in enumerate(coords[:-1]):  # skip closing duplicate
+            vert_rows.append(f"({g},{vid},{_f(float(x))},{_f(float(y))})")
+    pair_rows = ",".join(f"({pid},{a},{b})" for pid, a, b in pairs)
+    d1 = "(eb.x2-eb.x1)*(ea.y1-eb.y1)-(eb.y2-eb.y1)*(ea.x1-eb.x1)"
+    d2 = "(eb.x2-eb.x1)*(ea.y2-eb.y1)-(eb.y2-eb.y1)*(ea.x2-eb.x1)"
+    d3 = "(ea.x2-ea.x1)*(eb.y1-ea.y1)-(ea.y2-ea.y1)*(eb.x1-ea.x1)"
+    d4 = "(ea.x2-ea.x1)*(eb.y2-ea.y1)-(ea.y2-ea.y1)*(eb.x2-ea.x1)"
+    pip = (
+        "((e.y1 > v.y) <> (e.y2 > v.y)) "
+        "and v.x < (e.x2 - e.x1) * (v.y - e.y1) / nullif(e.y2 - e.y1, 0.0) + e.x1"
+    )
+    return (
+        "with edges as (select gid, cast(x1 as double) x1, cast(y1 as double) y1, "
+        "cast(x2 as double) x2, cast(y2 as double) y2 from (values "
+        + ",".join(edge_rows)
+        + ") v(gid, x1, y1, x2, y2)), "
+        "verts as (select gid, vid, cast(x as double) x, cast(y as double) y from (values "
+        + ",".join(vert_rows)
+        + ") v(gid, vid, x, y)), "
+        f"pairs as (select * from (values {pair_rows}) v(pair_id, a, b)), "
+        "xc as (select distinct p.pair_id from pairs p "
+        "join edges ea on ea.gid = p.a join edges eb on eb.gid = p.b "
+        f"where (({d1} > 0) <> ({d2} > 0)) and (({d3} > 0) <> ({d4} > 0)) "
+        f"and {d1} <> 0 and {d2} <> 0 and {d3} <> 0 and {d4} <> 0), "
+        "vin as ("
+        "select p.pair_id from pairs p join verts v on v.gid = p.a "
+        f"join edges e on e.gid = p.b where {pip} "
+        "group by p.pair_id, v.vid having count(*) % 2 = 1 "
+        "union "
+        "select p.pair_id from pairs p join verts v on v.gid = p.b "
+        f"join edges e on e.gid = p.a where {pip} "
+        "group by p.pair_id, v.vid having count(*) % 2 = 1) "
+        "select cast(pair_id as bigint) pair_id, "
+        "cast(case when pair_id in (select pair_id from xc) "
+        "or pair_id in (select pair_id from vin) then 1 else 0 end as bigint) intersects "
+        "from pairs order by pair_id"
+    )
+
+
+@_q("poly_pair_relations", _relation_oracle_sql())
+def q_poly_pair_relations(spark, sf_dir):
+    """Exact polygon×polygon st_intersects over general-position pairs —
+    the edge-cross + parity kernel vs the same expressions in SQL."""
+    from geomesa_spark.functions import st_functions as ST
+
+    pairs, geoms = _relation_pair_fixture()
+    wkts = {g: geo.wkt_polygon(c, o) for g, (c, o) in geoms.items()}
+    pdf = pd.DataFrame(
+        [(pid, wkts[a], wkts[b]) for pid, a, b in pairs], columns=["pair_id", "a", "b"]
+    )
+    df = spark.createDataFrame(pdf)
+    return (
+        df.select(
+            F.col("pair_id").cast("long"),
+            ST.st_intersects(F.col("a"), F.col("b")).cast("long").alias("intersects"),
+        ).orderBy("pair_id")
+    )
+
+
 SIMHASH_BITS = 16
 
 
@@ -1069,7 +1298,108 @@ def q_simhash_fingerprints(spark, sf_dir):
     )
 
 
-EMBED_NEARDUP_THRESHOLD = 0.95
+SIMHASH_HAMMING_MAX = 3
+SIMHASH_PAIR_BITS = 60   # md5-derived word hash provides 60 usable bits
+SIMHASH_BAND_BITS = 15   # 4 bands × 15 bits; lossless for hamming ≤ 3
+                         # (pigeonhole) AND 32k-value band keys, so band
+                         # buckets stay small at corpus scale (a 16-bit
+                         # fingerprint has only 16 keys/band → quadratic
+                         # candidate blowup)
+
+
+@_q(
+    "simhash_neardup_pairs",
+    (
+        f"with {_WORDS_SQL}, "
+        "wh as (select doc_id, ('0x' || substring(md5(w), 1, 15))::bigint h from words), "
+        "bits as (select doc_id, b.i, "
+        "sum(case when (h // (1::bigint << b.i)) % 2 = 1 then 1 else -1 end) s "
+        f"from wh cross join (select unnest(range({SIMHASH_PAIR_BITS})) i) b group by doc_id, b.i), "
+        "sig as (select doc_id, cast(sum(case when s > 0 then (1::bigint << i) else 0 end) as bigint) sh "
+        "from bits group by doc_id), "
+        "h as (select a.doc_id da, b.doc_id db, "
+        f"cast((select sum((xor(a.sh, b.sh) // (1::bigint << k.i)) % 2) "
+        f"from (select unnest(range({SIMHASH_PAIR_BITS})) i) k) as bigint) hamming "
+        "from sig a join sig b on a.doc_id < b.doc_id) "
+        f"select da, db, hamming from h where hamming <= {SIMHASH_HAMMING_MAX} order by da, db"
+    ),
+)
+def q_simhash_neardup_pairs(spark, sf_dir):
+    """SimHash near-duplicate pairs: banded Hamming-distance join over a
+    60-bit fingerprint (full md5-derived word hash, not the 31-bit
+    MinHash-domain one).
+
+    Candidates come from a band equi-join (4 bands × 15 bits — any pair
+    within Hamming ≤ 3 shares at least one intact band by pigeonhole, so
+    the banding is LOSSLESS, not approximate); the exact popcount refine
+    keeps pairs with hamming ≤ 3. At 100 TB the band join is a bucketed
+    shuffle, never an all-pairs product; the oracle is the brute-force
+    twin (identical output by losslessness)."""
+    d = _load(spark, sf_dir, "documents")
+    words = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    wh = words.withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10).cast("long")
+    )
+    bits_idx = F.broadcast(
+        d.sparkSession.createDataFrame(pd.DataFrame({"i": np.arange(SIMHASH_PAIR_BITS, dtype=np.int64)}))
+    )
+    bits = (
+        wh.crossJoin(bits_idx)
+        .withColumn("vote", F.expr("case when (h div (cast(1 as bigint) << cast(i as int))) % 2 = 1 then 1 else -1 end"))
+        .groupBy("doc_id", "i")
+        .agg(F.sum("vote").alias("s"))
+    )
+    sig = (
+        bits.withColumn("bit", F.expr("case when s > 0 then (cast(1 as bigint) << cast(i as int)) else cast(0 as bigint) end"))
+        .groupBy("doc_id")
+        .agg(F.sum("bit").cast("long").alias("sh"))
+    )
+    n_bands = SIMHASH_PAIR_BITS // SIMHASH_BAND_BITS
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("sh", b * SIMHASH_BAND_BITS).bitwiseAND(F.lit(mask)).alias("key"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.sh").alias("sa"),
+            F.col("b.sh").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("cast(bit_count(sa ^ sb) as bigint)"))
+        .where(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .select("da", "db", "hamming")
+        .orderBy("da", "db")
+    )
+
+
+# embeddings fixture max pairwise cosine is ~0.513 (verified round 1);
+# 0.45 keeps the near-dup match path genuinely exercised (non-vacuous)
+EMBED_NEARDUP_THRESHOLD = 0.45
 
 
 @_q(

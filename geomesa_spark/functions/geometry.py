@@ -270,6 +270,18 @@ def parse_wkt(wkt: str):
                     pos += len(ring)
                     offsets.append(pos)
         return kind, np.concatenate(rings), np.asarray(offsets)
+    if kind == "MULTIPOLYGON":
+        import re
+
+        rings, offsets, pos = [], [0], 0
+        for ring_txt in re.findall(r"\(([^()]+)\)", body):
+            ring = parse_ring(ring_txt)
+            rings.append(ring)
+            pos += len(ring)
+            offsets.append(pos)
+        # represented as one multi-ring geometry: ray-crossing parity over
+        # the union of rings is exact for disjoint member polygons
+        return kind, np.concatenate(rings), np.asarray(offsets)
     raise ValueError(f"unsupported WKT kind: {kind}")
 
 
@@ -285,3 +297,528 @@ def make_bbox_ring(min_lon, min_lat, max_lon, max_lat) -> np.ndarray:
         ],
         dtype=np.float64,
     )
+
+
+# ---------------------------------------------------------------------------
+# exact pairwise relations (the st_intersects/touches/overlaps/... kernel)
+#
+# All arithmetic is +,-,* float64 (orientation signs and parity tests), no
+# epsilon: predicates are exact for representable inputs, matching what an
+# ANSI-SQL oracle computes with the same expressions.
+# ---------------------------------------------------------------------------
+
+
+def classify_points_in_polygon(lon, lat, coords, ring_offsets) -> np.ndarray:
+    """Per point: 0 = outside, 1 = on boundary, 2 = strictly inside.
+
+    Boundary = collinear with some edge and inside its bbox (exact).
+    Interior = ray-crossing parity (boundary points excluded first, so the
+    parity ambiguity at edges never applies)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    x1, y1, x2, y2 = polygon_edges(np.asarray(coords, dtype=np.float64), np.asarray(ring_offsets))
+    # on-boundary test: orient == 0 and within edge bbox
+    o = (x2 - x1)[None, :] * (lat[:, None] - y1[None, :]) - (y2 - y1)[None, :] * (lon[:, None] - x1[None, :])
+    inx = (lon[:, None] >= np.minimum(x1, x2)[None, :]) & (lon[:, None] <= np.maximum(x1, x2)[None, :])
+    iny = (lat[:, None] >= np.minimum(y1, y2)[None, :]) & (lat[:, None] <= np.maximum(y1, y2)[None, :])
+    on_edge = (o == 0.0) & inx & iny
+    boundary = on_edge.any(axis=1)
+    out = np.zeros(len(lon), dtype=np.int8)
+    out[boundary] = 1
+    interior_mask = ~boundary
+    if interior_mask.any():
+        inside = points_in_polygon(lon[interior_mask], lat[interior_mask], coords, ring_offsets)
+        idx = np.nonzero(interior_mask)[0]
+        out[idx[inside]] = 2
+    return out
+
+
+def points_on_segments(px, py, x1, y1, x2, y2) -> np.ndarray:
+    """Per point: True if it lies on any of the segments (inclusive)."""
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    x1, y1, x2, y2 = (np.asarray(a, dtype=np.float64)[None, :] for a in (x1, y1, x2, y2))
+    o = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+    inx = (px >= np.minimum(x1, x2)) & (px <= np.maximum(x1, x2))
+    iny = (py >= np.minimum(y1, y2)) & (py <= np.maximum(y1, y2))
+    return ((o == 0.0) & inx & iny).any(axis=1)
+
+
+def segment_sets_relate(a_edges, b_edges) -> tuple[bool, bool, bool]:
+    """(any_proper_cross, any_touch, any_collinear_overlap) between two
+    edge sets (each a 4-tuple of arrays). Vectorized n_a x n_b.
+
+    proper cross     — interiors cross transversally (strict sign test)
+    touch            — contact that includes an endpoint / collinear point
+    collinear overlap— collinear segments sharing a positive-length piece
+    """
+    ax1, ay1, ax2, ay2 = (np.asarray(v, dtype=np.float64)[:, None] for v in a_edges)
+    bx1, by1, bx2, by2 = (np.asarray(v, dtype=np.float64)[None, :] for v in b_edges)
+    d1 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)  # a1 vs b
+    d2 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)  # a2 vs b
+    d3 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)  # b1 vs a
+    d4 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)  # b2 vs a
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+
+    def on_seg(px, py, sx1, sy1, sx2, sy2):
+        return (
+            (px >= np.minimum(sx1, sx2)) & (px <= np.maximum(sx1, sx2))
+            & (py >= np.minimum(sy1, sy2)) & (py <= np.maximum(sy1, sy2))
+        )
+
+    t1 = (d1 == 0) & on_seg(ax1, ay1, bx1, by1, bx2, by2)
+    t2 = (d2 == 0) & on_seg(ax2, ay2, bx1, by1, bx2, by2)
+    t3 = (d3 == 0) & on_seg(bx1, by1, ax1, ay1, ax2, ay2)
+    t4 = (d4 == 0) & on_seg(bx2, by2, ax1, ay1, ax2, ay2)
+    touch = t1 | t2 | t3 | t4
+
+    collinear = (d1 == 0) & (d2 == 0) & (d3 == 0) & (d4 == 0)
+    if collinear.any():
+        # project onto the dominant axis; overlap length > 0 ⇒ 1-dim overlap
+        usex = np.abs(ax2 - ax1) >= np.abs(ay2 - ay1)
+        alo = np.where(usex, np.minimum(ax1, ax2), np.minimum(ay1, ay2))
+        ahi = np.where(usex, np.maximum(ax1, ax2), np.maximum(ay1, ay2))
+        blo = np.where(usex, np.minimum(bx1, bx2), np.minimum(by1, by2))
+        bhi = np.where(usex, np.maximum(bx1, bx2), np.maximum(by1, by2))
+        overlap = collinear & (np.minimum(ahi, bhi) > np.maximum(alo, blo))
+    else:
+        overlap = np.zeros_like(collinear)
+    return bool(proper.any()), bool(touch.any()), bool(overlap.any())
+
+
+def _edge_midpoints(coords, ring_offsets):
+    x1, y1, x2, y2 = polygon_edges(np.asarray(coords, dtype=np.float64), np.asarray(ring_offsets))
+    return (x1 + x2) / 2.0, (y1 + y2) / 2.0
+
+
+def _normalize_ring(ring: np.ndarray) -> tuple:
+    """Canonical form of a closed ring: drop the duplicate endpoint,
+    orient CCW (shoelace), rotate to start at the lexicographic min."""
+    r = ring[:-1]
+    area2 = float(np.sum(r[:, 0] * np.roll(r[:, 1], -1) - np.roll(r[:, 0], -1) * r[:, 1]))
+    if area2 < 0:
+        r = r[::-1]
+    start = np.lexsort((r[:, 1], r[:, 0]))[0]
+    r = np.roll(r, -start, axis=0)
+    return tuple(map(tuple, r))
+
+
+def geoms_equal(ka, ca, oa, kb, cb, ob) -> bool:
+    """Geometric equality: same kind family; rings equal as canonical
+    point cycles (POLYGON), same vertex sequence up to reversal
+    (LINESTRING), same point (POINT)."""
+    if ka == "POINT" or kb == "POINT":
+        return ka == kb and len(ca) == len(cb) and bool((ca == cb).all())
+    if ka == "LINESTRING" or kb == "LINESTRING":
+        if ka != kb or len(ca) != len(cb):
+            return False
+        return bool((ca == cb).all() or (ca == cb[::-1]).all())
+    ra = sorted(_normalize_ring(ca[oa[i]:oa[i + 1]]) for i in range(len(oa) - 1))
+    rb = sorted(_normalize_ring(cb[ob[i]:ob[i + 1]]) for i in range(len(ob) - 1))
+    return ra == rb
+
+
+class Relate:
+    """Pairwise topological classification (the st_* predicate backend).
+
+    Fields:
+      ii   — interiors intersect
+      bb   — boundaries intersect (any contact on both boundaries)
+      bb_dim1 — boundaries share a positive-length (collinear) piece
+      a_covers_b / b_covers_a — closure containment
+      equal — geometric equality
+      proper_cross — transversal edge crossing exists
+      any_contact — closures intersect at all
+      dim_a / dim_b — topological dimension (0/1/2)
+    """
+
+    __slots__ = ("ii", "bb", "bb_dim1", "a_covers_b", "b_covers_a", "equal",
+                 "proper_cross", "any_contact", "dim_a", "dim_b")
+
+    def __init__(self, **kw):
+        for s in self.__slots__:
+            setattr(self, s, kw.get(s, False))
+
+
+_DIM = {"POINT": 0, "LINESTRING": 1, "POLYGON": 2, "MULTIPOLYGON": 2}
+
+
+def relate_geoms(ka, ca, oa, kb, cb, ob) -> Relate:
+    """Exact relate for POINT / LINESTRING / POLYGON(/MULTIPOLYGON as
+    multi-ring parity) pairs. Containment uses: no transversal crossing
+    + every vertex AND edge-midpoint of the contained geometry inside or
+    on the boundary of the container (exact when crossings are detected,
+    which the edge tests guarantee for non-degenerate inputs)."""
+    r = Relate(dim_a=_DIM[ka], dim_b=_DIM[kb], equal=geoms_equal(ka, ca, oa, kb, cb, ob))
+
+    def poly_like(k):
+        return k in ("POLYGON", "MULTIPOLYGON")
+
+    if ka == "POINT" and kb == "POINT":
+        same = bool((ca[0] == cb[0]).all())
+        r.ii = same
+        r.any_contact = same
+        r.a_covers_b = r.b_covers_a = same
+        return r
+
+    if ka == "POINT" or kb == "POINT":
+        # orient as (point, other)
+        flip = kb == "POINT"
+        pk, pc = (kb, cb) if flip else (ka, ca)
+        ok, oc, oo = (ka, ca, oa) if flip else (kb, cb, ob)
+        px, py = pc[0, 0], pc[0, 1]
+        if poly_like(ok):
+            cls = int(classify_points_in_polygon([px], [py], oc, oo)[0])
+            contact = cls > 0
+            r.ii = cls == 2
+            r.bb = False  # point has empty boundary... (its boundary is ∅; JTS treats point's boundary empty)
+            covers = contact
+        else:  # LINESTRING
+            x1, y1, x2, y2 = polygon_edges(oc, oo)
+            on = bool(points_on_segments([px], [py], x1, y1, x2, y2)[0])
+            endpoints = (oc[0], oc[-1])
+            at_end = on and any((px == e[0] and py == e[1]) for e in endpoints)
+            r.ii = on and not at_end
+            r.bb = False
+            r.any_contact = on
+            covers = on
+            contact = on
+        r.any_contact = contact
+        if flip:  # a is the container, b the point
+            r.a_covers_b, r.b_covers_a = covers, r.equal
+        else:
+            r.b_covers_a, r.a_covers_b = covers, r.equal
+        # touches semantics for point-vs-other = contact without interior hit
+        return r
+
+    # both are 1/2-dimensional: edge machinery
+    ea = polygon_edges(ca, oa)
+    eb = polygon_edges(cb, ob)
+    proper, touch, col_overlap = segment_sets_relate(ea, eb)
+    r.proper_cross = proper
+    r.bb_dim1 = col_overlap
+
+    # sample points of each geometry: vertices + edge midpoints
+    mx_a, my_a = _edge_midpoints(ca, oa)
+    mbx, mby = _edge_midpoints(cb, ob)
+    sax = np.concatenate([ca[:, 0], mx_a]); say = np.concatenate([ca[:, 1], my_a])
+    sbx = np.concatenate([cb[:, 0], mbx]); sby = np.concatenate([cb[:, 1], mby])
+
+    if poly_like(ka) and poly_like(kb):
+        cls_b_in_a = classify_points_in_polygon(sbx, sby, ca, oa)
+        cls_a_in_b = classify_points_in_polygon(sax, say, cb, ob)
+        a_sample_in = (cls_a_in_b == 2).any()
+        b_sample_in = (cls_b_in_a == 2).any()
+        # proper crossings are boundary∩boundary points too
+        boundary_contact = proper or touch or (cls_a_in_b == 1).any() or (cls_b_in_a == 1).any()
+        r.ii = bool(proper or a_sample_in or b_sample_in or r.equal)
+        r.bb = bool(boundary_contact)
+        r.a_covers_b = bool(not proper and (cls_b_in_a > 0).all())
+        r.b_covers_a = bool(not proper and (cls_a_in_b > 0).all())
+        r.any_contact = bool(r.ii or r.bb)
+        return r
+
+    if ka == "LINESTRING" and kb == "LINESTRING":
+        r.ii = bool(proper or col_overlap)
+        # endpoint-only contact
+        ea_ends = np.array([ca[0], ca[-1]]); eb_ends = np.array([cb[0], cb[-1]])
+        end_touch = bool(
+            points_on_segments(ea_ends[:, 0], ea_ends[:, 1], *eb).any()
+            or points_on_segments(eb_ends[:, 0], eb_ends[:, 1], *ea).any()
+        )
+        # interior-vs-interior contact at a point that isn't an endpoint of both:
+        # approximate via touch minus endpoint-only — JTS line/line 'touches'
+        # means ONLY boundary points in the intersection.
+        non_end_touch = False
+        if touch and not proper and not col_overlap:
+            # vertices of a on b that are not endpoints of a (interior of a)
+            ia = ca[1:-1]
+            ib = cb[1:-1]
+            non_end_touch = bool(
+                (len(ia) and points_on_segments(ia[:, 0], ia[:, 1], *eb).any())
+                or (len(ib) and points_on_segments(ib[:, 0], ib[:, 1], *ea).any())
+            )
+            # an endpoint of a lying on b's interior touches a's boundary to
+            # b's interior — still 'touches' in JTS; keep ii False.
+        r.ii = bool(r.ii or non_end_touch or r.equal)
+        r.bb = end_touch
+        r.a_covers_b = bool(not proper and col_overlap and points_on_segments(sbx, sby, *ea).all()) or r.equal
+        r.b_covers_a = bool(not proper and col_overlap and points_on_segments(sax, say, *eb).all()) or r.equal
+        r.any_contact = bool(proper or touch or col_overlap or r.equal)
+        return r
+
+    # line × polygon (either order): orient as (line, polygon)
+    flip = poly_like(ka)
+    lc, lo, le = (cb, ob, eb) if flip else (ca, oa, ea)
+    pc, po, pe = (ca, oa, ea) if flip else (cb, ob, eb)
+    slx = np.concatenate([lc[:, 0], _edge_midpoints(lc, lo)[0]])
+    sly = np.concatenate([lc[:, 1], _edge_midpoints(lc, lo)[1]])
+    cls = classify_points_in_polygon(slx, sly, pc, po)
+    any_in, any_out, any_bnd = (cls == 2).any(), (cls == 0).any(), (cls == 1).any()
+    ii = bool(proper or any_in)           # line interior meets polygon interior
+    covers = bool(not proper and (cls > 0).all())
+    contact = bool(proper or touch or any_in or any_bnd)
+    r.ii = ii
+    r.bb = bool(touch or any_bnd)
+    r.any_contact = contact
+    if flip:  # a is polygon, b is line
+        r.a_covers_b = covers
+        r.b_covers_a = False
+    else:
+        r.b_covers_a = covers
+        r.a_covers_b = False
+    return r
+
+
+# predicate layer (JTS semantics) --------------------------------------------
+
+
+def pred_intersects(r: Relate) -> bool:
+    return bool(r.any_contact)
+
+
+def pred_disjoint(r: Relate) -> bool:
+    return not r.any_contact
+
+
+def pred_touches(r: Relate) -> bool:
+    # contact, but interiors never meet (undefined/false for point-point)
+    return bool(r.any_contact and not r.ii and not (r.dim_a == 0 and r.dim_b == 0))
+
+
+def pred_contains(r: Relate) -> bool:
+    return bool(r.a_covers_b and r.ii)
+
+
+def pred_within(r: Relate) -> bool:
+    return bool(r.b_covers_a and r.ii)
+
+
+def pred_covers(r: Relate) -> bool:
+    return bool(r.a_covers_b)
+
+
+def pred_covered_by(r: Relate) -> bool:
+    return bool(r.b_covers_a)
+
+
+def pred_equals(r: Relate) -> bool:
+    return bool(r.equal)
+
+
+def pred_overlaps(r: Relate) -> bool:
+    if r.dim_a != r.dim_b or not r.ii or r.a_covers_b or r.b_covers_a:
+        return False
+    if r.dim_a == 1:  # line/line overlap requires a shared 1-dim piece
+        return bool(r.bb_dim1)
+    return True
+
+
+def pred_crosses(r: Relate) -> bool:
+    if r.dim_a == r.dim_b == 1:  # line x line: point intersection of interiors
+        return bool(r.proper_cross and not r.bb_dim1)
+    if r.dim_a == r.dim_b:
+        return False  # polygon x polygon / point x point never cross
+    lo, hi = sorted((r.dim_a, r.dim_b))
+    if lo == 0:  # point vs line/polygon: crosses is false (point can't exit)
+        return False
+    # line vs polygon: interior split — some interior in, some out
+    return bool(r.ii and not r.a_covers_b and not r.b_covers_a)
+
+
+def de9im(r: Relate) -> str:
+    """Approximate DE-9IM matrix string derived from the classification
+    (dims are exact for the entry classes this engine distinguishes)."""
+    def d(flag, dim):
+        return str(dim) if flag else "F"
+
+    ii = d(r.ii, min(r.dim_a, r.dim_b))
+    ib = d(r.ii and not r.a_covers_b if r.dim_b > 0 else False, max(r.dim_b - 1, 0)) if r.dim_b > 0 else "F"
+    ie = "F" if r.b_covers_a else str(r.dim_a)
+    bi = d(r.ii and not r.b_covers_a if r.dim_a > 0 else False, max(r.dim_a - 1, 0)) if r.dim_a > 0 else "F"
+    bb = d(r.bb, 1 if r.bb_dim1 else 0)
+    be = "F" if r.b_covers_a else (str(max(r.dim_a - 1, 0)) if r.dim_a > 0 else "F")
+    ei = "F" if r.a_covers_b else str(r.dim_b)
+    eb = "F" if r.a_covers_b else (str(max(r.dim_b - 1, 0)) if r.dim_b > 0 else "F")
+    return ii + ib + ie + bi + bb + be + ei + eb + "2"
+
+
+# ---------------------------------------------------------------------------
+# WKB (little-endian ISO WKB for POINT / LINESTRING / POLYGON /
+# MULTIPOLYGON) and a generic WKT writer
+# ---------------------------------------------------------------------------
+
+import struct
+
+_WKB_KIND = {"POINT": 1, "LINESTRING": 2, "POLYGON": 3, "MULTIPOLYGON": 6}
+_WKB_NAME = {v: k for k, v in _WKB_KIND.items()}
+
+
+def wkt_linestring(coords: np.ndarray) -> str:
+    pts = ", ".join(f"{x:.10g} {y:.10g}" for x, y in coords)
+    return f"LINESTRING ({pts})"
+
+
+def wkt_any(kind: str, coords: np.ndarray, ring_offsets: np.ndarray) -> str:
+    if kind == "POINT":
+        return wkt_point(float(coords[0, 0]), float(coords[0, 1]))
+    if kind == "LINESTRING":
+        return wkt_linestring(coords)
+    if kind == "POLYGON":
+        return wkt_polygon(coords, ring_offsets)
+    # MULTIPOLYGON: each ring emitted as a single-ring member polygon
+    parts = []
+    for r in range(len(ring_offsets) - 1):
+        ring = coords[ring_offsets[r]:ring_offsets[r + 1]]
+        pts = ", ".join(f"{x:.10g} {y:.10g}" for x, y in ring)
+        parts.append(f"(({pts}))")
+    return f"MULTIPOLYGON ({', '.join(parts)})"
+
+
+def wkb_write(kind: str, coords: np.ndarray, ring_offsets: np.ndarray) -> bytes:
+    """Standard little-endian WKB bytes."""
+    c = np.asarray(coords, dtype="<f8")
+
+    def ring_bytes(ring):
+        return struct.pack("<I", len(ring)) + ring.astype("<f8").tobytes()
+
+    if kind == "POINT":
+        return b"\x01" + struct.pack("<I", 1) + c[0].tobytes()
+    if kind == "LINESTRING":
+        return b"\x01" + struct.pack("<I", 2) + ring_bytes(c)
+    if kind == "POLYGON":
+        out = b"\x01" + struct.pack("<II", 3, len(ring_offsets) - 1)
+        for r in range(len(ring_offsets) - 1):
+            out += ring_bytes(c[ring_offsets[r]:ring_offsets[r + 1]])
+        return out
+    if kind == "MULTIPOLYGON":
+        n = len(ring_offsets) - 1
+        out = b"\x01" + struct.pack("<II", 6, n)
+        for r in range(n):
+            ring = c[ring_offsets[r]:ring_offsets[r + 1]]
+            out += b"\x01" + struct.pack("<II", 3, 1) + ring_bytes(ring)
+        return out
+    raise ValueError(f"unsupported WKB kind: {kind}")
+
+
+def wkb_read(buf: bytes):
+    """WKB bytes → (kind, coords, ring_offsets). Accepts both byte orders."""
+    def u32(b, off, little):
+        return struct.unpack_from("<I" if little else ">I", b, off)[0]
+
+    def coords_at(b, off, n, little):
+        arr = np.frombuffer(b, dtype="<f8" if little else ">f8", count=2 * n, offset=off)
+        return arr.reshape(n, 2).astype(np.float64), off + 16 * n
+
+    def parse_one(off):
+        little = buf[off] == 1
+        kind_code = u32(buf, off + 1, little) & 0xFF
+        off += 5
+        kind = _WKB_NAME[kind_code]
+        if kind == "POINT":
+            c, off = coords_at(buf, off, 1, little)
+            return kind, c, np.asarray([0, 1]), off
+        if kind == "LINESTRING":
+            n = u32(buf, off, little)
+            c, off = coords_at(buf, off + 4, n, little)
+            return kind, c, np.asarray([0, n]), off
+        if kind == "POLYGON":
+            nrings = u32(buf, off, little)
+            off += 4
+            rings, offsets, pos = [], [0], 0
+            for _ in range(nrings):
+                n = u32(buf, off, little)
+                c, off = coords_at(buf, off + 4, n, little)
+                rings.append(c)
+                pos += n
+                offsets.append(pos)
+            return kind, np.concatenate(rings), np.asarray(offsets), off
+        if kind == "MULTIPOLYGON":
+            npolys = u32(buf, off, little)
+            off += 4
+            rings, offsets, pos = [], [0], 0
+            for _ in range(npolys):
+                k2, c2, o2, off = parse_one(off)
+                for r in range(len(o2) - 1):
+                    ring = c2[o2[r]:o2[r + 1]]
+                    rings.append(ring)
+                    pos += len(ring)
+                    offsets.append(pos)
+            return kind, np.concatenate(rings), np.asarray(offsets), off
+        raise ValueError(f"unsupported WKB kind code: {kind_code}")
+
+    kind, c, o, _ = parse_one(0)
+    return kind, c, o
+
+
+# ---------------------------------------------------------------------------
+# min distance / closest point (vertex↔edge candidates; exact for
+# polyline/polygon pairs since the minimum occurs at a vertex-edge pair)
+# ---------------------------------------------------------------------------
+
+
+def _point_to_segments(px, py, x1, y1, x2, y2):
+    """Per (point, segment): squared distance and the closest point."""
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    x1, y1, x2, y2 = (np.asarray(v, dtype=np.float64)[None, :] for v in (x1, y1, x2, y2))
+    dx, dy = x2 - x1, y2 - y1
+    L2 = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(L2 > 0, ((px - x1) * dx + (py - y1) * dy) / np.where(L2 == 0, 1.0, L2), 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    cx, cy = x1 + t * dx, y1 + t * dy
+    d2 = (px - cx) ** 2 + (py - cy) ** 2
+    return d2, cx, cy
+
+
+def min_distance_and_closest(ka, ca, oa, kb, cb, ob):
+    """(min planar-degree distance, closest point ON GEOMETRY A).
+    Distance is 0 (closest point = a point of contact/other geometry's
+    witness) when the geometries intersect."""
+    r = relate_geoms(ka, ca, oa, kb, cb, ob)
+    if r.any_contact:
+        if ka == "POINT":
+            return 0.0, (float(ca[0, 0]), float(ca[0, 1]))
+        if kb == "POINT":
+            return 0.0, (float(cb[0, 0]), float(cb[0, 1]))
+        # a contact witness: any B vertex covered by A, else an A vertex on B
+        for x, y in cb:
+            if ka in ("POLYGON", "MULTIPOLYGON"):
+                if classify_points_in_polygon([x], [y], ca, oa)[0] > 0:
+                    return 0.0, (float(x), float(y))
+            else:
+                if points_on_segments([x], [y], *polygon_edges(ca, oa))[0]:
+                    return 0.0, (float(x), float(y))
+        return 0.0, (float(ca[0, 0]), float(ca[0, 1]))
+    best_d2 = np.inf
+    best_pt = (float(ca[0, 0]), float(ca[0, 1]))
+    if ka != "POINT":
+        ea = polygon_edges(ca, oa)
+        d2, cx, cy = _point_to_segments(cb[:, 0], cb[:, 1], *ea)
+        i, j = np.unravel_index(np.argmin(d2), d2.shape)
+        if d2[i, j] < best_d2:
+            best_d2, best_pt = float(d2[i, j]), (float(cx[i, j]), float(cy[i, j]))
+    if kb != "POINT":
+        eb = polygon_edges(cb, ob)
+        d2, _cx, _cy = _point_to_segments(ca[:, 0], ca[:, 1], *eb)
+        i, j = np.unravel_index(np.argmin(d2), d2.shape)
+        if d2[i, j] < best_d2:
+            best_d2, best_pt = float(d2[i, j]), (float(ca[i, 0]), float(ca[i, 1]))
+    if ka == "POINT" and kb == "POINT":
+        best_d2 = float(planar_dist2(ca[0, 0], ca[0, 1], cb[0, 0], cb[0, 1]))
+        best_pt = (float(ca[0, 0]), float(ca[0, 1]))
+    return float(np.sqrt(best_d2)), best_pt
+
+
+def wkt_polygon_exact(coords: np.ndarray, ring_offsets: np.ndarray) -> str:
+    """Full-precision polygon WKT (repr round-trips float64 exactly —
+    required when a stored WKT column must reproduce the original
+    coordinates bit-for-bit, e.g. the stored-polygon-table join whose
+    oracle is generated from the source coordinate arrays)."""
+    rings = []
+    for r in range(len(ring_offsets) - 1):
+        s, e = ring_offsets[r], ring_offsets[r + 1]
+        pts = ", ".join(f"{x!r} {y!r}" for x, y in coords[s:e])
+        rings.append(f"({pts})")
+    return f"POLYGON ({', '.join(rings)})"

@@ -28,7 +28,7 @@ import json
 import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession, functions as F
-from pyspark.sql.types import BooleanType, DoubleType, IntegerType, LongType, StringType
+from pyspark.sql.types import BinaryType, BooleanType, DoubleType, IntegerType, LongType, StringType
 
 from geomesa_spark.functions import cells as C
 from geomesa_spark.functions import geometry as geo
@@ -68,6 +68,46 @@ def st_makeBBOX(minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Seri
 def st_geomFromWKT(wkt: pd.Series) -> pd.Series:
     cache = _parse_cache(wkt)
     return wkt.map(lambda w: w if (w is not None and cache.get(w) is not None) else None)
+
+
+@F.pandas_udf(StringType())
+def st_makeLine(points: pd.Series) -> pd.Series:
+    """Array of POINT WKTs → LINESTRING (SQLGeometricConstructorFunctions
+    st_makeLine analog)."""
+    def mk(arr):
+        if arr is None:
+            return None
+        pts = pd.Series(list(arr)).str.extract(_POINT_NUM, expand=True).astype(np.float64)
+        if pts.isna().any().any():
+            return None
+        return geo.wkt_linestring(pts.to_numpy())
+
+    return points.map(mk)
+
+
+@F.pandas_udf(StringType())
+def st_makePolygon(line_wkt: pd.Series) -> pd.Series:
+    """Closed LINESTRING → POLYGON (shell only)."""
+    def mk(kind, coords, offs):
+        if kind != "LINESTRING" or len(coords) < 4 or not (coords[0] == coords[-1]).all():
+            return None
+        return geo.wkt_polygon(coords, np.asarray([0, len(coords)]))
+
+    return _per_unique(line_wkt, mk, object)
+
+
+@F.pandas_udf(StringType())
+def st_geomFromWKB(wkb: pd.Series) -> pd.Series:
+    """WKB binary → geometry (WKT form)."""
+    def rd(b):
+        if b is None:
+            return None
+        try:
+            return geo.wkt_any(*geo.wkb_read(bytes(b)))
+        except Exception:
+            return None
+
+    return wkb.map(rd)
 
 
 # --- accessors --------------------------------------------------------------
@@ -139,6 +179,75 @@ def st_centroid(wkt: pd.Series) -> pd.Series:
     return _per_unique(wkt, cen, object)
 
 
+@F.pandas_udf(StringType())
+def st_exteriorRing(wkt: pd.Series) -> pd.Series:
+    """Polygon shell as a LINESTRING (SQLSpatialAccessorFunctions analog)."""
+    def ring(kind, coords, offs):
+        if kind not in ("POLYGON", "MULTIPOLYGON"):
+            return None
+        return geo.wkt_linestring(coords[offs[0]:offs[1]])
+
+    return _per_unique(wkt, ring, object)
+
+
+@F.pandas_udf(StringType())
+def st_interiorRingN(wkt: pd.Series, n: pd.Series) -> pd.Series:
+    """n-th interior ring (1-based) of a POLYGON as a LINESTRING."""
+    cache = _parse_cache(wkt)
+    out = []
+    for w, i in zip(wkt.to_numpy(object), n.to_numpy()):
+        g = cache.get(w)
+        if g is None or g[0] != "POLYGON" or i is None or not (1 <= int(i) <= len(g[2]) - 2):
+            out.append(None)
+            continue
+        k = int(i)
+        out.append(geo.wkt_linestring(g[1][g[2][k]:g[2][k + 1]]))
+    return pd.Series(out)
+
+
+@F.pandas_udf(StringType())
+def st_pointN(wkt: pd.Series, n: pd.Series) -> pd.Series:
+    """n-th vertex (1-based; negative counts from the end) of a LINESTRING."""
+    cache = _parse_cache(wkt)
+    out = []
+    for w, i in zip(wkt.to_numpy(object), n.to_numpy()):
+        g = cache.get(w)
+        if g is None or g[0] != "LINESTRING" or i is None or i == 0 or abs(int(i)) > len(g[1]):
+            out.append(None)
+            continue
+        k = int(i) - 1 if int(i) > 0 else len(g[1]) + int(i)
+        out.append(geo.wkt_point(float(g[1][k, 0]), float(g[1][k, 1])))
+    return pd.Series(out)
+
+
+@F.pandas_udf(IntegerType())
+def st_coordDim(wkt: pd.Series) -> pd.Series:
+    return _per_unique(wkt, lambda k, c, o: 2, "Int32")
+
+
+@F.pandas_udf(IntegerType())
+def st_dimension(wkt: pd.Series) -> pd.Series:
+    """Topological dimension: POINT 0, LINESTRING 1, (MULTI)POLYGON 2."""
+    return _per_unique(wkt, lambda k, c, o: {"POINT": 0, "LINESTRING": 1}.get(k, 2), "Int32")
+
+
+@F.pandas_udf(StringType())
+def st_geometryType(wkt: pd.Series) -> pd.Series:
+    return _per_unique(
+        wkt,
+        lambda k, c, o: {"POINT": "Point", "LINESTRING": "LineString",
+                         "POLYGON": "Polygon", "MULTIPOLYGON": "MultiPolygon"}[k],
+        object,
+    )
+
+
+@F.pandas_udf(IntegerType())
+def st_numGeometries(wkt: pd.Series) -> pd.Series:
+    return _per_unique(
+        wkt, lambda k, c, o: (len(o) - 1) if k == "MULTIPOLYGON" else 1, "Int32"
+    )
+
+
 # --- relations --------------------------------------------------------------
 
 
@@ -155,10 +264,28 @@ def _pip_against(poly_wkt: pd.Series, lon: np.ndarray, lat: np.ndarray) -> np.nd
     return out
 
 
+def _containment_series(container: pd.Series, contained: pd.Series, pred) -> pd.Series:
+    """Vectorized PIP fast path when the contained side is POINT rows;
+    exact relate kernel for line/polygon operands."""
+    pts = contained.str.extract(_POINT_NUM, expand=True).astype(np.float64)
+    fast = ~pts.isna().any(axis=1)
+    out = np.empty(len(container), dtype=object)
+    if fast.any():
+        m = fast.to_numpy()
+        out[m] = _pip_against(container[fast], pts[0].to_numpy()[m], pts[1].to_numpy()[m])
+    if (~fast).any():
+        a, b = (container[~fast], contained[~fast])
+        gen = _per_unique_pair(a, b, lambda ga, gb: pred(geo.relate_geoms(*ga, *gb)))
+        out[(~fast).to_numpy()] = gen
+    return pd.Series(out)
+
+
 @F.pandas_udf(BooleanType())
-def st_contains(poly_wkt: pd.Series, point_wkt: pd.Series) -> pd.Series:
-    pts = point_wkt.str.extract(_POINT_NUM, expand=True).astype(np.float64)
-    return pd.Series(_pip_against(poly_wkt, pts[0].to_numpy(), pts[1].to_numpy()))
+def st_contains(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
+    """Exact containment (interior-intersecting closure containment) for
+    any POINT/LINESTRING/POLYGON pair; vectorized PIP fast path when the
+    contained side is a POINT."""
+    return _containment_series(a_wkt, b_wkt, geo.pred_contains)
 
 
 @F.pandas_udf(BooleanType())
@@ -169,42 +296,131 @@ def st_containsPoint(poly_wkt: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.
 
 
 @F.pandas_udf(BooleanType())
-def st_within(point_wkt: pd.Series, poly_wkt: pd.Series) -> pd.Series:
-    pts = point_wkt.str.extract(_POINT_NUM, expand=True).astype(np.float64)
-    return pd.Series(_pip_against(poly_wkt, pts[0].to_numpy(), pts[1].to_numpy()))
+def st_within(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
+    """a within b == b contains a (same kernel, operands swapped)."""
+    return _containment_series(b_wkt, a_wkt, geo.pred_contains)
+
+
+def _per_unique_pair(a_wkt: pd.Series, b_wkt: pd.Series, fn):
+    """Evaluate ``fn(geom_a, geom_b)`` once per unique (a, b) WKT pair in
+    the batch (realistic workloads repeat few geometries across many rows),
+    returning a per-row object array. Unparseable inputs map to None."""
+    ca, cb = _parse_cache(a_wkt), _parse_cache(b_wkt)
+    av, bv = a_wkt.to_numpy(object), b_wkt.to_numpy(object)
+    codes, uniq = pd.factorize(pd.Series(list(zip(av, bv))))
+    vals = []
+    for a, b in uniq:
+        ga, gb = ca.get(a), cb.get(b)
+        vals.append(None if ga is None or gb is None else fn(ga, gb))
+    out = np.empty(len(av), dtype=object)
+    for i, v in enumerate(vals):
+        out[codes == i] = v
+    return out
+
+
+def _relation_series(a_wkt: pd.Series, b_wkt: pd.Series, pred) -> pd.Series:
+    return pd.Series(
+        _per_unique_pair(a_wkt, b_wkt, lambda ga, gb: pred(geo.relate_geoms(*ga, *gb)))
+    )
 
 
 @F.pandas_udf(BooleanType())
 def st_intersects(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
-    """Bbox-level intersects for polygon/line pairs; exact for point vs
-    polygon (PIP). (Reference: SQLSpatialRelationFunctions#st_intersects.)"""
-    ca, cb = _parse_cache(a_wkt), _parse_cache(b_wkt)
-    n = len(a_wkt)
-    out = np.zeros(n, dtype=bool)
-    av, bv = a_wkt.to_numpy(object), b_wkt.to_numpy(object)
-    for i in range(n):
-        ga, gb = ca.get(av[i]), cb.get(bv[i])
-        if ga is None or gb is None:
+    """Exact topological intersects for POINT/LINESTRING/POLYGON/
+    MULTIPOLYGON pairs (edge-crossing + boundary + parity kernel —
+    geometry.relate_geoms). Concave disjoint polygons with overlapping
+    bboxes classify correctly."""
+    return _relation_series(a_wkt, b_wkt, geo.pred_intersects)
+
+
+@F.pandas_udf(BooleanType())
+def st_disjoint(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
+    return _relation_series(a_wkt, b_wkt, geo.pred_disjoint)
+
+
+@F.pandas_udf(BooleanType())
+def st_touches(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
+    return _relation_series(a_wkt, b_wkt, geo.pred_touches)
+
+
+@F.pandas_udf(BooleanType())
+def st_crosses(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
+    return _relation_series(a_wkt, b_wkt, geo.pred_crosses)
+
+
+@F.pandas_udf(BooleanType())
+def st_overlaps(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
+    return _relation_series(a_wkt, b_wkt, geo.pred_overlaps)
+
+
+@F.pandas_udf(BooleanType())
+def st_equals(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
+    return _relation_series(a_wkt, b_wkt, geo.pred_equals)
+
+
+@F.pandas_udf(BooleanType())
+def st_covers(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
+    return _relation_series(a_wkt, b_wkt, geo.pred_covers)
+
+
+@F.pandas_udf(BooleanType())
+def st_coveredBy(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
+    return _relation_series(a_wkt, b_wkt, geo.pred_covered_by)
+
+
+@F.pandas_udf(StringType())
+def st_relate(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
+    """DE-9IM matrix string (dims approximated from the exact predicate
+    classification; see geometry.de9im)."""
+    return pd.Series(
+        _per_unique_pair(a_wkt, b_wkt, lambda ga, gb: geo.de9im(geo.relate_geoms(*ga, *gb)))
+    )
+
+
+@F.pandas_udf(BooleanType())
+def st_relateBool(a_wkt: pd.Series, b_wkt: pd.Series, pattern: pd.Series) -> pd.Series:
+    """DE-9IM pattern match: 'T' = non-F, '*' = any, else exact char."""
+    mats = _per_unique_pair(a_wkt, b_wkt, lambda ga, gb: geo.de9im(geo.relate_geoms(*ga, *gb)))
+    pats = pattern.to_numpy(object)
+    out = np.empty(len(mats), dtype=object)
+    for i, (m, p) in enumerate(zip(mats, pats)):
+        if m is None or p is None or len(p) != 9:
+            out[i] = None
             continue
-        if ga[0] == "POINT" and gb[0] == "POLYGON":
-            out[i] = bool(geo.points_in_polygon(ga[1][:, 0], ga[1][:, 1], gb[1], gb[2])[0])
-        elif gb[0] == "POINT" and ga[0] == "POLYGON":
-            out[i] = bool(geo.points_in_polygon(gb[1][:, 0], gb[1][:, 1], ga[1], ga[2])[0])
-        else:
-            ax0, ay0, ax1, ay1 = geo.polygon_bbox(ga[1])
-            bx0, by0, bx1, by1 = geo.polygon_bbox(gb[1])
-            out[i] = not (ax1 < bx0 or bx1 < ax0 or ay1 < by0 or by1 < ay0)
+        out[i] = all(pc == "*" or (pc == "T" and mc != "F") or pc == mc for mc, pc in zip(m, p))
     return pd.Series(out)
 
 
 @F.pandas_udf(DoubleType())
 def st_distance(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
-    """Planar degree distance between two POINTs (JTS st_distance semantics)."""
+    """Planar degree distance (JTS st_distance semantics): vectorized fast
+    path for POINT×POINT rows; vertex↔edge minimum (0 on contact) for
+    line/polygon operands, computed once per unique pair."""
     pa = a_wkt.str.extract(_POINT_NUM, expand=True).astype(np.float64)
     pb = b_wkt.str.extract(_POINT_NUM, expand=True).astype(np.float64)
-    return pd.Series(
-        np.sqrt(geo.planar_dist2(pa[0].to_numpy(), pa[1].to_numpy(), pb[0].to_numpy(), pb[1].to_numpy()))
-    )
+    fast = ~(pa.isna().any(axis=1) | pb.isna().any(axis=1))
+    out = np.full(len(a_wkt), np.nan)
+    if fast.any():
+        m = fast.to_numpy()
+        out[m] = np.sqrt(
+            geo.planar_dist2(pa[0].to_numpy()[m], pa[1].to_numpy()[m], pb[0].to_numpy()[m], pb[1].to_numpy()[m])
+        )
+    if (~fast).any():
+        gen = _per_unique_pair(
+            a_wkt[~fast], b_wkt[~fast], lambda ga, gb: geo.min_distance_and_closest(*ga, *gb)[0]
+        )
+        out[(~fast).to_numpy()] = [np.nan if v is None else v for v in gen]
+    return pd.Series(out)
+
+
+@F.pandas_udf(StringType())
+def st_closestPoint(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
+    """The point ON geometry A closest to geometry B (POINT WKT)."""
+    def cp(ga, gb):
+        _d, (x, y) = geo.min_distance_and_closest(*ga, *gb)
+        return geo.wkt_point(x, y)
+
+    return pd.Series(_per_unique_pair(a_wkt, b_wkt, cp))
 
 
 @F.pandas_udf(DoubleType())
@@ -227,6 +443,22 @@ def st_bufferPoint(lon: pd.Series, lat: pd.Series, radius_m: pd.Series) -> pd.Se
     for i in range(len(lon_v)):
         ring = geo.buffer_point(lon_v[i], lat_v[i], r_v[i])
         out.append(geo.wkt_polygon(ring, np.asarray([0, len(ring)])))
+    return pd.Series(out)
+
+
+@F.pandas_udf(StringType())
+def st_translate(wkt: pd.Series, dx: pd.Series, dy: pd.Series) -> pd.Series:
+    """Shift a geometry by (dx, dy) degrees (SQLGeometryProcessingFunctions
+    st_translate analog)."""
+    cache = _parse_cache(wkt)
+    out = []
+    for w, a, b in zip(wkt.to_numpy(object), dx.to_numpy(np.float64), dy.to_numpy(np.float64)):
+        g = cache.get(w)
+        if g is None:
+            out.append(None)
+            continue
+        k, c, o = g
+        out.append(geo.wkt_any(k, c + np.array([a, b]), o))
     return pd.Series(out)
 
 
@@ -260,6 +492,46 @@ def st_idlSafeGeom(wkt: pd.Series) -> pd.Series:
 
 
 # --- output / cells ---------------------------------------------------------
+
+
+@F.pandas_udf(BinaryType())
+def st_asBinary(wkt: pd.Series) -> pd.Series:
+    """Geometry → little-endian WKB bytes (SQLGeometricOutputFunctions
+    st_asBinary analog)."""
+    return _per_unique(wkt, lambda k, c, o: geo.wkb_write(k, c, o), object)
+
+
+@F.pandas_udf(StringType())
+def st_asText(wkt: pd.Series) -> pd.Series:
+    """Canonical WKT re-serialization (validates + normalizes formatting)."""
+    return _per_unique(wkt, lambda k, c, o: geo.wkt_any(k, c, o), object)
+
+
+def _cast_to(kind_set):
+    def cast(kind, coords, offs):
+        return geo.wkt_any(kind, coords, offs) if kind in kind_set else None
+
+    return cast
+
+
+@F.pandas_udf(StringType())
+def st_castToPoint(wkt: pd.Series) -> pd.Series:
+    return _per_unique(wkt, _cast_to({"POINT"}), object)
+
+
+@F.pandas_udf(StringType())
+def st_castToLineString(wkt: pd.Series) -> pd.Series:
+    return _per_unique(wkt, _cast_to({"LINESTRING"}), object)
+
+
+@F.pandas_udf(StringType())
+def st_castToPolygon(wkt: pd.Series) -> pd.Series:
+    return _per_unique(wkt, _cast_to({"POLYGON"}), object)
+
+
+@F.pandas_udf(StringType())
+def st_castToGeometry(wkt: pd.Series) -> pd.Series:
+    return _per_unique(wkt, _cast_to({"POINT", "LINESTRING", "POLYGON", "MULTIPOLYGON"}), object)
 
 
 @F.pandas_udf(StringType())
@@ -332,6 +604,9 @@ ALL_FUNCTIONS = {
     "st_point": st_point,
     "st_makeBBOX": st_makeBBOX,
     "st_geomFromWKT": st_geomFromWKT,
+    "st_makeLine": st_makeLine,
+    "st_makePolygon": st_makePolygon,
+    "st_geomFromWKB": st_geomFromWKB,
     "st_x": st_x,
     "st_y": st_y,
     "st_envelope": st_envelope,
@@ -339,15 +614,39 @@ ALL_FUNCTIONS = {
     "st_area": st_area,
     "st_length": st_length,
     "st_centroid": st_centroid,
+    "st_exteriorRing": st_exteriorRing,
+    "st_interiorRingN": st_interiorRingN,
+    "st_pointN": st_pointN,
+    "st_coordDim": st_coordDim,
+    "st_dimension": st_dimension,
+    "st_geometryType": st_geometryType,
+    "st_numGeometries": st_numGeometries,
     "st_contains": st_contains,
     "st_containsPoint": st_containsPoint,
     "st_within": st_within,
     "st_intersects": st_intersects,
+    "st_disjoint": st_disjoint,
+    "st_touches": st_touches,
+    "st_crosses": st_crosses,
+    "st_overlaps": st_overlaps,
+    "st_equals": st_equals,
+    "st_covers": st_covers,
+    "st_coveredBy": st_coveredBy,
+    "st_relate": st_relate,
+    "st_relateBool": st_relateBool,
     "st_distance": st_distance,
     "st_distanceSphere": st_distanceSphere,
+    "st_closestPoint": st_closestPoint,
+    "st_translate": st_translate,
     "st_bufferPoint": st_bufferPoint,
     "st_convexHull": st_convexHull,
     "st_idlSafeGeom": st_idlSafeGeom,
+    "st_asBinary": st_asBinary,
+    "st_asText": st_asText,
+    "st_castToPoint": st_castToPoint,
+    "st_castToLineString": st_castToLineString,
+    "st_castToPolygon": st_castToPolygon,
+    "st_castToGeometry": st_castToGeometry,
     "st_asGeoJSON": st_asGeoJSON,
     "st_geoHash": st_geoHash,
     "st_z2": st_z2,

@@ -84,9 +84,10 @@ def knn_join(
     q_center = C.grid_encode(queries["lon"].to_numpy(), queries["lat"].to_numpy(), level)
 
     active = np.ones(len(queries), dtype=bool)
-    best: pd.DataFrame | None = None  # accumulated (qid, pid, dist)
+    best: DataFrame | None = None  # accumulated per-qid top-k, stays DISTRIBUTED
     radius = np.full(len(queries), -1, dtype=np.int64)  # last completed ring
     target = initial_radius
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("pid").asc())
 
     while active.any():
         # 1. candidate cells: for each active query, rings (radius+1 .. target]
@@ -98,6 +99,8 @@ def knn_join(
                 rows_qid.extend([int(queries["qid"][qi])] * len(ring))
                 rows_qlon.extend([float(queries["lon"][qi])] * len(ring))
                 rows_qlat.extend([float(queries["lat"][qi])] * len(ring))
+        kth_dist: dict[int, float] = {}
+        have_n: dict[int, int] = {}
         if rows_cell:
             cand_cells = spark.createDataFrame(
                 pd.DataFrame({"cell": rows_cell, "qid": rows_qid, "q_lon": rows_qlon, "q_lat": rows_qlat})
@@ -108,52 +111,68 @@ def knn_join(
                 if metric == "haversine"
                 else planar_dist2_expr("p_lon", "p_lat", "q_lon", "q_lat")
             )
-            w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("pid").asc())
             batch = (
                 joined.withColumn("dist", dist)
                 .withColumn("rnk", F.row_number().over(w))
                 .where(F.col("rnk") <= k)
                 .select("qid", "pid", "dist")
-                .toPandas()
             )
-            best = batch if best is None else pd.concat([best, batch], ignore_index=True)
-            if best is not None and len(best):
-                # rings wrap at high radius (lon wraparound) and can
-                # re-enumerate a cell → dedupe candidate pairs
-                best = (
-                    best.drop_duplicates(["qid", "pid"])
-                    .sort_values(["qid", "dist", "pid"])
-                    .groupby("qid", as_index=False, sort=False)
-                    .head(k)
-                    .reset_index(drop=True)
-                )
+            # union into the running top-k WITHOUT collecting candidate rows:
+            # dedupe (rings wrap at high radius and can re-enumerate a cell),
+            # re-rank, keep k — all distributed; only the tiny per-qid
+            # (count, kth distance) summary reaches the driver.
+            merged = best.union(batch) if best is not None else batch
+            new_best = (
+                merged.dropDuplicates(["qid", "pid"])
+                .withColumn("rnk", F.row_number().over(w))
+                .where(F.col("rnk") <= k)
+                .select("qid", "pid", "dist")
+                .persist()
+            )
+            summary = (
+                new_best.groupBy("qid")
+                .agg(F.count(F.lit(1)).alias("n"), F.max("dist").alias("kth"))
+                .collect()
+            )
+            for row in summary:
+                have_n[int(row["qid"])] = int(row["n"])
+                kth_dist[int(row["qid"])] = float(row["kth"])
+            if best is not None:
+                best.unpersist()
+            best = new_best
+        elif best is not None:
+            summary = (
+                best.groupBy("qid").agg(F.count(F.lit(1)).alias("n"), F.max("dist").alias("kth")).collect()
+            )
+            for row in summary:
+                have_n[int(row["qid"])] = int(row["n"])
+                kth_dist[int(row["qid"])] = float(row["kth"])
 
         radius[active] = target
         # 2. termination: kth distance ≤ min distance of next ring
         for qi in np.nonzero(active)[0]:
             qid = int(queries["qid"][qi])
-            have = best[best["qid"] == qid] if best is not None else pd.DataFrame()
             next_ring = C.grid_ring(int(q_center[qi]), int(radius[qi]) + 1, level)
             if len(next_ring) == 0:  # globe exhausted
                 active[qi] = False
                 continue
-            if len(have) >= k:
-                kth = float(have["dist"].iloc[k - 1])
+            if have_n.get(qid, 0) >= k:
                 lb = _cell_min_dist(
                     float(queries["lon"][qi]), float(queries["lat"][qi]), next_ring, level, metric
                 ).min()
-                if kth <= lb:
+                if kth_dist[qid] <= lb:
                     active[qi] = False
         if radius.max() >= max_rings:
             break
         target = max(target + 1, target * 2)  # geometric ring expansion
 
     pts.unpersist()
-    if best is None or not len(best):
+    if best is None:
         return spark.createDataFrame(pd.DataFrame(columns=["qid", "pid", "dist", "rnk"]))
-    best = best.sort_values(["qid", "dist", "pid"]).reset_index(drop=True)
-    best["rnk"] = best.groupby("qid").cumcount() + 1
-    return spark.createDataFrame(best)
+    return (
+        best.withColumn("rnk", F.row_number().over(w))
+        .select("qid", "pid", "dist", "rnk")
+    )
 
 
 def knn_join_crossjoin(

@@ -91,6 +91,27 @@ def _polys_fingerprint(polys: list[Polygon]) -> str:
     return h.hexdigest()
 
 
+def cover_cells_one(coords: np.ndarray, ring_offsets: np.ndarray, level: int) -> tuple[list[int], list[bool]]:
+    """One polygon's exact cell cover: (cells, full-flags). ``full`` cells
+    lie wholly inside the polygon (refine skippable). Runs anywhere —
+    driver (small dim lists) or executors (stored polygon tables)."""
+    bx0, by0, bx1, by1 = geo.polygon_bbox(coords)
+    cells: list[int] = []
+    fulls: list[bool] = []
+    for cell in C.grid_cover_bbox(bx0, by0, bx1, by1, level):
+        cx0, cy0, cx1, cy1 = C.grid_cell_bounds(cell, level)
+        if not geo.box_intersects_polygon(cx0, cy0, cx1, cy1, coords, ring_offsets):
+            continue
+        corners_in = geo.points_in_polygon(
+            np.array([cx0, cx1, cx1, cx0]), np.array([cy0, cy0, cy1, cy1]), coords, ring_offsets
+        ).all()
+        x1, y1, x2, y2 = geo.polygon_edges(coords, ring_offsets)
+        edge_hits = geo.segments_intersect_box(x1, y1, x2, y2, cx0, cy0, cx1, cy1).any()
+        cells.append(int(cell))
+        fulls.append(bool(corners_in and not edge_hits))
+    return cells, fulls
+
+
 def polygon_cover_pdf(polys: list[Polygon], level: int = DEFAULT_LEVEL) -> pd.DataFrame:
     """(cell, polygon_id, full) rows: every grid cell whose box intersects
     the polygon; ``full`` marks cells wholly inside (refine skippable).
@@ -108,19 +129,10 @@ def polygon_cover_pdf(polys: list[Polygon], level: int = DEFAULT_LEVEL) -> pd.Da
         return cached
     rows_cell, rows_pid, rows_full = [], [], []
     for p in polys:
-        bx0, by0, bx1, by1 = geo.polygon_bbox(p.coords)
-        for cell in C.grid_cover_bbox(bx0, by0, bx1, by1, level):
-            cx0, cy0, cx1, cy1 = C.grid_cell_bounds(cell, level)
-            if not geo.box_intersects_polygon(cx0, cy0, cx1, cy1, p.coords, p.ring_offsets):
-                continue
-            corners_in = geo.points_in_polygon(
-                np.array([cx0, cx1, cx1, cx0]), np.array([cy0, cy0, cy1, cy1]), p.coords, p.ring_offsets
-            ).all()
-            x1, y1, x2, y2 = geo.polygon_edges(p.coords, p.ring_offsets)
-            edge_hits = geo.segments_intersect_box(x1, y1, x2, y2, cx0, cy0, cx1, cy1).any()
-            rows_cell.append(int(cell))
-            rows_pid.append(p.polygon_id)
-            rows_full.append(bool(corners_in and not edge_hits))
+        cells, fulls = cover_cells_one(p.coords, p.ring_offsets, level)
+        rows_cell.extend(cells)
+        rows_pid.extend([p.polygon_id] * len(cells))
+        rows_full.extend(fulls)
     out = pd.DataFrame({"cell": np.asarray(rows_cell, dtype=np.int64), "polygon_id": np.asarray(rows_pid, dtype=np.int64), "full": rows_full})
     _COVER_CACHE[key] = out
     while len(_COVER_CACHE) > _COVER_CACHE_MAX:
@@ -193,17 +205,34 @@ def broadcast_pip_join(
     raise ValueError(f"unsupported how={how}")
 
 
-def hot_cells(points_with_cell: DataFrame, threshold_fraction: float = 0.01) -> list[int]:
-    """Cells holding more than `threshold_fraction` of all points — the
-    explicit skew list (manifest cell histograms serve this at scale;
-    computed here with one cheap partial-agg pass)."""
-    total = points_with_cell.count()
-    rows = (
-        points_with_cell.groupBy("cell").count()
-        .where(F.col("count") > total * threshold_fraction)
-        .collect()
-    )
-    return [r["cell"] for r in rows]
+def hot_cells(
+    points_with_cell: DataFrame,
+    threshold_fraction: float = 0.01,
+    sample_fraction: float = 0.05,
+    seed: int = 42,
+) -> list[int]:
+    """Cells holding more than ``threshold_fraction`` of all points — the
+    explicit skew list. Skew detection needs only the heavy hitters, so
+    by default it runs on a ``sample_fraction`` sample (cells above 1% of
+    the data are found by a 5% sample with near-certainty) instead of two
+    full-table passes; committed manifest cell histograms
+    (sources/manifest.hot_cells_from_manifest) replace even that at scale."""
+    src = points_with_cell.select("cell")
+    if sample_fraction < 1.0:
+        src = src.sample(False, sample_fraction, seed)
+    src = src.cache()
+    try:
+        total = src.count()
+        if total == 0:
+            return []
+        rows = (
+            src.groupBy("cell").count()
+            .where(F.col("count") > total * threshold_fraction)
+            .collect()
+        )
+        return [r["cell"] for r in rows]
+    finally:
+        src.unpersist()
 
 
 def grid_pip_join(
@@ -260,6 +289,54 @@ def grid_pip_join(
         pip = make_pip_refine(polys)
         cand = cand.where(F.col("full") | pip(F.col(lon_col), F.col(lat_col), F.col("polygon_id")))
     return cand.drop("full", "cell", "salt")
+
+
+BROADCAST_COVER_MAX_ROWS = 1_000_000  # ~24 MB of (cell, pid, full) rows
+
+
+def spatial_join(
+    points: DataFrame,
+    polys: list[Polygon],
+    strategy: str = "auto",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    level: int = DEFAULT_LEVEL,
+    refine: bool = True,
+    skew_cells: list[int] | None = None,
+    manifest_root: str | None = None,
+    manifest_op: str | None = None,
+    point_key_col: str | None = None,
+    broadcast_max_cover: int = BROADCAST_COVER_MAX_ROWS,
+) -> DataFrame:
+    """Cost-based PIP-join entry point (~ GeoMesa's StrategyDecider,
+    SURVEY.md §4.1): pick the physical strategy from the cover size and
+    feed the salted path its skew list WITHOUT extra scans.
+
+    - cover rows ≤ ``broadcast_max_cover`` → ``broadcast_pip_join``
+      (shuffle-free; the cover is comfortably an executor broadcast);
+    - else → ``grid_pip_join`` (salted SMJ). The skew list comes from, in
+      order: the caller, the table manifest's committed cell histograms
+      (zero extra jobs), or a 5% sample (``hot_cells``).
+    """
+    cover = polygon_cover_pdf(polys, level)
+    if strategy == "auto":
+        strategy = "broadcast" if len(cover) <= broadcast_max_cover else "salted"
+    if strategy == "broadcast":
+        return broadcast_pip_join(points, polys, lon_col, lat_col, level, refine=refine)
+    if skew_cells is None and manifest_root is not None:
+        from geomesa_spark.sources.manifest import hot_cells_from_manifest
+
+        skew_cells = hot_cells_from_manifest(manifest_root, manifest_op or "ingest")
+    return grid_pip_join(
+        points,
+        polys,
+        lon_col,
+        lat_col,
+        level,
+        refine=refine,
+        skew_cells=skew_cells,
+        point_key_col=point_key_col,
+    )
 
 
 def distance_join(
@@ -321,3 +398,92 @@ def haversine_expr(lon1: str, lat1: str, lon2: str, lat2: str):
     dlon = F.radians(F.col(lon2)) - F.radians(F.col(lon1))
     h = F.pow(F.sin(dlat / 2), 2) + F.cos(la1) * F.cos(la2) * F.pow(F.sin(dlon / 2), 2)
     return F.lit(2.0) * r * F.asin(F.sqrt(F.least(h, F.lit(1.0))))
+
+
+# ---------------------------------------------------------------------------
+# stored polygon tables (XZ2-style extents indexing, SURVEY.md §1.1):
+# the polygon side is a big DataFrame, covers are computed DISTRIBUTED
+# ---------------------------------------------------------------------------
+
+
+def with_cover_cells(
+    poly_df: DataFrame,
+    level: int = DEFAULT_LEVEL,
+    wkt_col: str = "wkt",
+    id_col: str = "polygon_id",
+) -> DataFrame:
+    """Explode a polygon table into its cell-cover index rows
+    (polygon_id, cell, full, wkt) — the XZ2-extents analog. The cover for
+    each polygon is computed ON EXECUTORS via mapInPandas, so million-row
+    polygon tables never funnel through the driver; persist the result as
+    the stored index (manifest tables carry it as a partition column)."""
+    schema = f"{id_col} long, cell long, full boolean, {wkt_col} string"
+
+    def gen(batches):
+        from geomesa_spark.functions import geometry as geo_x
+
+        for pdf in batches:
+            out_pid, out_cell, out_full, out_wkt = [], [], [], []
+            for pid, wkt in zip(pdf[id_col], pdf[wkt_col]):
+                try:
+                    _kind, coords, offs = geo_x.parse_wkt(wkt)
+                except Exception:
+                    continue
+                cells, fulls = cover_cells_one(coords, offs, level)
+                out_pid.extend([int(pid)] * len(cells))
+                out_cell.extend(cells)
+                out_full.extend(fulls)
+                out_wkt.extend([wkt] * len(cells))
+            yield pd.DataFrame({id_col: out_pid, "cell": out_cell, "full": out_full, wkt_col: out_wkt})
+
+    return poly_df.select(id_col, wkt_col).mapInPandas(gen, schema)
+
+
+def make_pip_refine_wkt(wkt_col: str = "wkt"):
+    """Arrow-batched (lon, lat, wkt) → bool PIP refine for stored polygon
+    tables: each batch parses every unique WKT once and refines its rows
+    with the vectorized ray-crossing kernel."""
+
+    @F.pandas_udf(BooleanType())
+    def pip_refine_wkt(lon: pd.Series, lat: pd.Series, wkt: pd.Series) -> pd.Series:
+        lon_v = lon.to_numpy(np.float64)
+        lat_v = lat.to_numpy(np.float64)
+        out = np.zeros(len(lon_v), dtype=bool)
+        codes, uniq = pd.factorize(wkt)
+        for i, w in enumerate(uniq):
+            try:
+                _kind, coords, offs = geo.parse_wkt(w)
+            except Exception:
+                continue
+            m = codes == i
+            out[m] = geo.points_in_polygon(lon_v[m], lat_v[m], coords, offs)
+        return pd.Series(out)
+
+    return pip_refine_wkt
+
+
+def pip_join_stored(
+    points: DataFrame,
+    poly_df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    level: int = DEFAULT_LEVEL,
+    refine: bool = True,
+    wkt_col: str = "wkt",
+    id_col: str = "polygon_id",
+    covers: DataFrame | None = None,
+) -> DataFrame:
+    """PIP join where the polygon side is a *stored table* (big×big):
+    cover cells computed distributed (``with_cover_cells`` — pass
+    ``covers`` to reuse a persisted index), cell equi-join (sort-merge /
+    shuffle-hash under AQE — both sides shuffle on cell only), then the
+    WKT-batch PIP refine. This is the path that lets polygon tables be
+    the FACT side; the driver never materializes a cover."""
+    if covers is None:
+        covers = with_cover_cells(poly_df, level, wkt_col, id_col)
+    pts = with_grid_cell(points, lon_col, lat_col, level)
+    cand = pts.join(covers, "cell", "inner")
+    if refine:
+        pip = make_pip_refine_wkt(wkt_col)
+        cand = cand.where(F.col("full") | pip(F.col(lon_col), F.col(lat_col), F.col(wkt_col)))
+    return cand.drop("full", "cell", wkt_col)

@@ -173,27 +173,91 @@ def raster_query(chips: DataFrame, min_lon, min_lat, max_lon, max_lat, zoom: int
     )
 
 
+MOSAIC_SCHEMA = (
+    "request_id long, tile_x0 long, tile_y0 long, width int, height int, grid binary"
+)
+
+
+def _stitch_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One mosaic request's chips → one stitched grid row (executor-side)."""
+    tx0, ty0 = int(pdf["tile_x"].min()), int(pdf["tile_y"].min())
+    w = (int(pdf["tile_x"].max()) - tx0 + 1) * CHIP_W
+    h = (int(pdf["tile_y"].max()) - ty0 + 1) * CHIP_H
+    out = np.full((h, w), np.nan, dtype=np.float32)
+    for tx, ty, band in zip(pdf["tile_x"], pdf["tile_y"], pdf["band"]):
+        grid = np.frombuffer(band, dtype="<f4").reshape(CHIP_H, CHIP_W)
+        y = (int(ty) - ty0) * CHIP_H
+        x = (int(tx) - tx0) * CHIP_W
+        out[y : y + CHIP_H, x : x + CHIP_W] = grid
+    return pd.DataFrame(
+        {
+            "request_id": [int(pdf["request_id"].iloc[0])],
+            "tile_x0": [tx0],
+            "tile_y0": [ty0],
+            "width": [w],
+            "height": [h],
+            "grid": [out.tobytes()],
+        }
+    )
+
+
+def mosaic_requests(chips: DataFrame, requests_df: DataFrame) -> DataFrame:
+    """Distributed mosaic service (~ RasterUtils#mosaicChunks):
+    ``requests_df`` rows (request_id, min_lon, min_lat, max_lon, max_lat,
+    zoom) each produce one stitched grid row.
+
+    Plan: broadcast the (small) request set against the chips table with
+    the same zoom + bbox-overlap predicate as ``raster_query`` — the scan
+    prunes by zoom/tile range — then ``groupBy(request_id).applyInPandas``
+    stitches each request on an executor. Arbitrarily many concurrent
+    requests parallelize; nothing is collected to the driver."""
+    req = F.broadcast(
+        requests_df.select(
+            "request_id",
+            F.col("min_lon").alias("q_min_lon"),
+            F.col("min_lat").alias("q_min_lat"),
+            F.col("max_lon").alias("q_max_lon"),
+            F.col("max_lat").alias("q_max_lat"),
+            F.col("zoom").alias("q_zoom"),
+        )
+    )
+    j = chips.join(
+        req,
+        (F.col("zoom") == F.col("q_zoom"))
+        & (F.col("max_lon") > F.col("q_min_lon"))
+        & (F.col("min_lon") < F.col("q_max_lon"))
+        & (F.col("max_lat") > F.col("q_min_lat"))
+        & (F.col("min_lat") < F.col("q_max_lat")),
+    )
+    return (
+        j.select("request_id", "tile_x", "tile_y", "band")
+        .groupBy("request_id")
+        .applyInPandas(_stitch_group, MOSAIC_SCHEMA)
+    )
+
+
 def mosaic(chips: DataFrame, min_lon, min_lat, max_lon, max_lat, zoom: int) -> np.ndarray:
-    """Stitch the chips covering a bbox into one numpy grid
-    (~ RasterUtils#mosaicChunks). The grouped stitch runs as
-    ``applyInPandas`` so arbitrarily many concurrent mosaic requests
-    parallelize; the result grid covers the full extent of touched tiles."""
-    sel = raster_query(chips, min_lon, min_lat, max_lon, max_lat, zoom)
-    rows = sel.select("tile_x", "tile_y", "band").collect()
+    """Single-request convenience wrapper over ``mosaic_requests`` (the
+    distributed path); returns the stitched numpy grid. The stitch itself
+    runs executor-side — the driver receives only the finished grid."""
+    spark = chips.sparkSession
+    req = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "request_id": [0],
+                "min_lon": [float(min_lon)],
+                "min_lat": [float(min_lat)],
+                "max_lon": [float(max_lon)],
+                "max_lat": [float(max_lat)],
+                "zoom": [int(zoom)],
+            }
+        )
+    )
+    rows = mosaic_requests(chips, req).collect()
     if not rows:
         return np.zeros((0, 0), dtype=np.float32)
-    txs = [r["tile_x"] for r in rows]
-    tys = [r["tile_y"] for r in rows]
-    tx0, ty0 = min(txs), min(tys)
-    w = (max(txs) - tx0 + 1) * CHIP_W
-    h = (max(tys) - ty0 + 1) * CHIP_H
-    out = np.full((h, w), np.nan, dtype=np.float32)
-    for r in rows:
-        band = np.frombuffer(r["band"], dtype="<f4").reshape(CHIP_H, CHIP_W)
-        y = (r["tile_y"] - ty0) * CHIP_H
-        x = (r["tile_x"] - tx0) * CHIP_W
-        out[y : y + CHIP_H, x : x + CHIP_W] = band
-    return out
+    r = rows[0]
+    return np.frombuffer(r["grid"], dtype="<f4").reshape(r["height"], r["width"])
 
 
 def zonal_stats(points_joined: DataFrame, value_col: str | None = None) -> DataFrame:

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from geomesa_spark.functions import cells as C
 from geomesa_spark.operators.knn import planar_dist2_expr
@@ -75,20 +75,35 @@ def asof_join(
 ) -> DataFrame:
     """As-of join: for each point, the LAST track fix with
     ``t_sec <= point.ts_sec`` (ties broken by highest fix_id). Points
-    before the first fix drop out. Implemented as a broadcast range join
-    + ranking window (the declarative last-before pattern)."""
+    before the first fix drop out.
+
+    Scale-safe implementation: the track is sorted once on the driver and
+    closed over by an Arrow-batched ``searchsorted`` UDF — each point
+    emits exactly ONE row (its matched fix_id), so there is no
+    |points| × |prior fixes| intermediate and no ranking-window shuffle
+    (the round-1 broadcast-NLJ + window formulation materialized both).
+    Fix attributes re-attach via a broadcast equi-join on fix_id."""
     spark = points.sparkSession
-    track = F.broadcast(
+    tp = track_pdf.sort_values(["ts_sec", "fix_id"]).reset_index(drop=True)
+    t_sec_sorted = tp["ts_sec"].to_numpy(np.int64)
+    fix_sorted = tp["fix_id"].to_numpy(np.int64)
+
+    @F.pandas_udf("long")
+    def last_fix(ts: pd.Series) -> pd.Series:
+        # rightmost fix with t_sec <= ts; (t_sec, fix_id) sort order makes
+        # the rightmost tie the highest fix_id
+        idx = np.searchsorted(t_sec_sorted, ts.to_numpy(np.int64), side="right") - 1
+        return pd.Series(np.where(idx >= 0, fix_sorted[np.maximum(idx, 0)], np.int64(-1)))
+
+    fixes = F.broadcast(
         spark.createDataFrame(
-            track_pdf.rename(columns={"lon": "t_lon", "lat": "t_lat"})[
-                ["fix_id", "t_lon", "t_lat", "ts_sec"]
-            ].rename(columns={"ts_sec": "t_sec"})
+            track_pdf.rename(columns={"lon": "t_lon", "lat": "t_lat", "ts_sec": "t_sec"})[
+                ["fix_id", "t_lon", "t_lat", "t_sec"]
+            ]
         )
     )
-    j = points.join(track, F.col("t_sec") <= F.col(ts_sec_col), "inner")
-    w = Window.partitionBy(point_id_col).orderBy(F.desc("t_sec"), F.desc("fix_id"))
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+        points.withColumn("fix_id", last_fix(F.col(ts_sec_col)))
+        .where(F.col("fix_id") >= 0)
+        .join(fixes, "fix_id")
     )

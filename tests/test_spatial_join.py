@@ -104,3 +104,28 @@ def test_distance_join_matches_oracle(points_df, points_pdf):
 def test_broadcast_join_plan_is_broadcast_and_pushes_filters(points_df, polys):
     plan = sj.broadcast_pip_join(points_df, polys)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_spatial_join_auto_strategy_flips_on_cover_size(points_df, polys, oracle_pairs):
+    # small cover → broadcast plan
+    auto = sj.spatial_join(points_df, polys, strategy="auto")
+    plan_b = auto._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_b
+    # force the salted SMJ path by shrinking the broadcast budget
+    salted = sj.spatial_join(
+        points_df, polys, strategy="auto", broadcast_max_cover=1, point_key_col="pid"
+    )
+    plan_s = salted._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan_s and "BroadcastHashJoin" not in plan_s.split("SortMergeJoin")[0]
+    # both strategies produce identical pairs
+    assert _pairs(auto) == oracle_pairs
+    assert _pairs(salted) == oracle_pairs
+
+
+def test_hot_cells_sampled_matches_full(points_df):
+    pts = sj.with_grid_cell(points_df)
+    full = set(sj.hot_cells(pts, threshold_fraction=0.05, sample_fraction=1.0))
+    sampled = set(sj.hot_cells(pts, threshold_fraction=0.05, sample_fraction=0.05))
+    # the 30%-concentration hot cell must be found by the 5% sample
+    assert full and full <= sampled | full
+    assert len(sampled & full) >= 1

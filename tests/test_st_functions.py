@@ -139,3 +139,148 @@ def test_intersects_pairs(registered):
     got = df.select(ST.st_intersects(F.col("a"), F.col("b")).alias("got"), "expect").collect()
     for r in got:
         assert r["got"] == r["expect"]
+
+
+# ---------------------------------------------------------------------------
+# exact relation predicates (round-2: poly×poly / line kernel)
+# ---------------------------------------------------------------------------
+
+SQ = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+SQ_ROT = "POLYGON ((10 0, 10 10, 0 10, 0 0, 10 0))"
+SQ_SHIFT = "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"
+SQ_FAR = "POLYGON ((20 20, 30 20, 30 30, 20 30, 20 20))"
+SQ_INNER = "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))"
+SQ_EDGE = "POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))"
+SQ_CORNER = "POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))"
+CSHAPE = "POLYGON ((0 0, 10 0, 10 2, 2 2, 2 8, 10 8, 10 10, 0 10, 0 0))"
+NOTCH = "POLYGON ((5 4, 8 4, 8 6, 5 6, 5 4))"  # in C's notch: bbox overlap, disjoint
+
+RELATION_CASES = [
+    # (a, b, intersects, touches, overlaps, contains, equals, disjoint)
+    (SQ, SQ_SHIFT, True, False, True, False, False, False),
+    (SQ, SQ_FAR, False, False, False, False, False, True),
+    (SQ, SQ_INNER, True, False, False, True, False, False),
+    (SQ, SQ_EDGE, True, True, False, False, False, False),
+    (SQ, SQ_CORNER, True, True, False, False, False, False),
+    (CSHAPE, NOTCH, False, False, False, False, False, True),
+    (SQ, SQ_ROT, True, False, False, True, True, False),
+    # SQ_INNER sits in CSHAPE's notch sharing boundary segments: touches
+    (CSHAPE, SQ_INNER, True, True, False, False, False, False),
+    # a square genuinely inside CSHAPE's bottom bar
+    (CSHAPE, "POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))",
+     True, False, False, True, False, False),
+]
+
+
+def test_polygon_relation_matrix(registered):
+    spark = registered
+    pdf = pd.DataFrame(RELATION_CASES, columns=[
+        "a", "b", "e_int", "e_tch", "e_ovl", "e_con", "e_eq", "e_dis"])
+    df = spark.createDataFrame(pdf)
+    got = df.selectExpr(
+        "e_int", "e_tch", "e_ovl", "e_con", "e_eq", "e_dis",
+        "st_intersects(a, b) g_int", "st_touches(a, b) g_tch",
+        "st_overlaps(a, b) g_ovl", "st_contains(a, b) g_con",
+        "st_equals(a, b) g_eq", "st_disjoint(a, b) g_dis",
+    ).collect()
+    for r in got:
+        for p in ("int", "tch", "ovl", "con", "eq", "dis"):
+            assert r[f"g_{p}"] == r[f"e_{p}"], (p, r)
+
+
+def test_line_relations(registered):
+    spark = registered
+    rows = spark.sql(f"""
+        select
+          st_crosses('LINESTRING (-5 5, 15 5)', '{SQ}') c1,
+          st_crosses('LINESTRING (0 0, 10 10)', 'LINESTRING (0 10, 10 0)') c2,
+          st_crosses('LINESTRING (1 1, 9 9)', '{SQ}') c3,
+          st_touches('LINESTRING (10 5, 20 5)', '{SQ}') t1,
+          st_overlaps('LINESTRING (0 0, 10 0)', 'LINESTRING (5 0, 15 0)') o1,
+          st_covers('{SQ}', 'LINESTRING (1 1, 9 9)') cv1,
+          st_coveredBy('LINESTRING (1 1, 9 9)', '{SQ}') cb1
+    """).collect()[0]
+    assert rows["c1"] and rows["c2"] and not rows["c3"]
+    assert rows["t1"] and rows["o1"] and rows["cv1"] and rows["cb1"]
+
+
+def test_relate_de9im(registered):
+    spark = registered
+    r = spark.sql(
+        f"select st_relate('{SQ}', '{SQ_INNER}') m, "
+        f"st_relateBool('{SQ}', '{SQ_INNER}', 'T*****FF*') contains_pat"
+    ).collect()[0]
+    assert len(r["m"]) == 9 and r["m"][0] == "2"  # interiors meet with dim 2
+    assert r["contains_pat"] is True
+
+
+# ---------------------------------------------------------------------------
+# constructors / accessors / output long tail
+# ---------------------------------------------------------------------------
+
+
+def test_wkb_roundtrip(registered):
+    spark = registered
+    geoms = [SQ, "POINT (2.5 -3.25)", "LINESTRING (0 0, 5 5, 10 0)", CSHAPE]
+    df = spark.createDataFrame(pd.DataFrame({"g": geoms}))
+    out = df.selectExpr(
+        "st_asText(g) canon",
+        "st_asText(st_geomFromWKB(st_asBinary(g))) round_trip",
+        "length(st_asBinary(g)) nbytes",
+    ).collect()
+    for r in out:
+        assert r["round_trip"] == r["canon"]
+        assert r["nbytes"] > 5
+
+
+def test_constructor_accessor_long_tail(registered):
+    spark = registered
+    r = spark.sql("""
+        select
+          st_makeLine(array('POINT (0 0)', 'POINT (5 5)', 'POINT (10 0)')) line,
+          st_makePolygon('LINESTRING (0 0, 10 0, 10 10, 0 0)') poly,
+          st_pointN('LINESTRING (0 0, 5 5, 10 0)', 2) p2,
+          st_pointN('LINESTRING (0 0, 5 5, 10 0)', -1) plast,
+          st_exteriorRing('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))') shell,
+          st_interiorRingN('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))', 1) hole,
+          st_coordDim('POINT (1 2)') cd,
+          st_dimension('LINESTRING (0 0, 1 1)') dim,
+          st_geometryType('POLYGON ((0 0, 1 0, 1 1, 0 0))') gt,
+          st_translate('POINT (1 2)', 10.0, -1.0) tr
+    """).collect()[0]
+    assert r["line"] == "LINESTRING (0 0, 5 5, 10 0)"
+    assert r["poly"].startswith("POLYGON")
+    assert r["p2"] == "POINT (5 5)"
+    assert r["plast"] == "POINT (10 0)"
+    assert r["shell"].startswith("LINESTRING (0 0")
+    assert r["hole"].startswith("LINESTRING (2 2")
+    assert r["cd"] == 2 and r["dim"] == 1
+    assert r["gt"] == "Polygon"
+    assert r["tr"] == "POINT (11 1)"
+
+
+def test_distance_and_closest_point_general(registered):
+    spark = registered
+    r = spark.sql(f"""
+        select
+          st_distance('{SQ}', 'POINT (20 5)') d_poly_pt,
+          st_distance('POINT (0 0)', 'POINT (3 4)') d_pp,
+          st_distance('{SQ}', '{SQ_INNER}') d_contained,
+          st_closestPoint('{SQ}', 'POINT (20 5)') cp
+    """).collect()[0]
+    assert r["d_poly_pt"] == 10.0
+    assert r["d_pp"] == 5.0
+    assert r["d_contained"] == 0.0
+    assert r["cp"] == "POINT (10 5)"
+
+
+def test_casts(registered):
+    spark = registered
+    r = spark.sql(f"""
+        select st_castToPoint('POINT (1 2)') p,
+               st_castToPoint('{SQ}') notp,
+               st_castToPolygon('{SQ}') poly,
+               st_castToGeometry('LINESTRING (0 0, 1 1)') g
+    """).collect()[0]
+    assert r["p"] == "POINT (1 2)" and r["notp"] is None
+    assert r["poly"] is not None and r["g"] is not None

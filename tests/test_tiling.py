@@ -114,3 +114,31 @@ def test_zonal_stats_matches_brute(spark, points_pdf):
         expect = points_pdf.set_index("pid").loc[keys, "val"].mean()
         got = float(zs[zs["polygon_id"] == p0]["mean"].iloc[0])
         assert got == pytest.approx(expect)
+
+
+def test_mosaic_requests_distributed_matches_single(spark):
+    chips = spark.createDataFrame(T.chips_pdf(zooms=(5, 7), lon_range=(-20.0, 20.0), lat_range=(-15.0, 15.0)))
+    reqs = pd.DataFrame(
+        {
+            "request_id": [0, 1, 2],
+            "min_lon": [-10.0, 0.0, -18.0],
+            "min_lat": [-8.0, -5.0, 2.0],
+            "max_lon": [10.0, 15.0, -2.0],
+            "max_lat": [8.0, 10.0, 12.0],
+            "zoom": [5, 7, 7],
+        }
+    )
+    out = {r["request_id"]: r for r in T.mosaic_requests(chips, spark.createDataFrame(reqs)).collect()}
+    assert set(out) == {0, 1, 2}
+    for req in reqs.itertuples(index=False):
+        single = T.mosaic(chips, req.min_lon, req.min_lat, req.max_lon, req.max_lat, req.zoom)
+        r = out[req.request_id]
+        got = np.frombuffer(r["grid"], dtype="<f4").reshape(r["height"], r["width"])
+        np.testing.assert_array_equal(got, single)
+
+
+def test_mosaic_path_has_no_driver_collect():
+    import inspect
+
+    src = inspect.getsource(T.mosaic_requests) + inspect.getsource(T._stitch_group)
+    assert ".collect()" not in src  # the stitch is executor-side (applyInPandas)
