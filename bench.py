@@ -75,6 +75,9 @@ def bench_diff(current: dict) -> dict | None:
         prev = json.load(open(path)).get("parsed") or {}
     except Exception:
         return None
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    if str(prev.get("sf")) != sf or prev.get("cpus") != CPUS:
+        return None  # only diff apples-to-apples configs
     prev_q = prev.get("queries") or {}
     delta = {}
     for name, sec in current.items():

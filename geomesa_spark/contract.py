@@ -1015,7 +1015,16 @@ _WORDS_SQL = (
     ),
 )
 def q_dedup_jaccard(spark, sf_dir):
-    """Word-set Jaccard near-dup pairs (exact; MinHash-LSH is the scale path)."""
+    """Word-set Jaccard near-dup pairs — the exact small-scale twin of
+    MinHash-LSH (`minhash_lsh_pairs` is the 100-TB path).
+
+    Scale note: the word self-join is quadratic in document frequency
+    (a word appearing in 10^4 docs contributes 10^8 pairs), so at corpus
+    scale this operator REQUIRES a df-cap / stopword cut before the join
+    (drop words with df above a few hundred — they carry ~no Jaccard
+    signal at a 0.9 threshold). The driver-fixture corpus has no such
+    heavy words, so the exact path stays cheap and the oracle stays
+    byte-identical without a cut here."""
     d = _load(spark, sf_dir, "documents")
     words = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))

@@ -472,17 +472,25 @@ def pip_join_stored(
     wkt_col: str = "wkt",
     id_col: str = "polygon_id",
     covers: DataFrame | None = None,
+    strategy: str = "merge",
 ) -> DataFrame:
     """PIP join where the polygon side is a *stored table* (big×big):
     cover cells computed distributed (``with_cover_cells`` — pass
-    ``covers`` to reuse a persisted index), cell equi-join (sort-merge /
-    shuffle-hash under AQE — both sides shuffle on cell only), then the
+    ``covers`` to reuse a persisted index), cell equi-join, then the
     WKT-batch PIP refine. This is the path that lets polygon tables be
-    the FACT side; the driver never materializes a cover."""
+    the FACT side; the driver never materializes a cover.
+
+    ``strategy='merge'`` (default) pins sort-merge: both sides are big by
+    assumption, and Catalyst cannot estimate the mapInPandas cover's size
+    (without the hint it may broadcast the POINTS side — fatal at scale).
+    Pass ``strategy='broadcast'`` only for known-small cover indexes."""
     if covers is None:
         covers = with_cover_cells(poly_df, level, wkt_col, id_col)
     pts = with_grid_cell(points, lon_col, lat_col, level)
-    cand = pts.join(covers, "cell", "inner")
+    if strategy == "broadcast":
+        cand = pts.join(F.broadcast(covers), "cell", "inner")
+    else:
+        cand = pts.join(covers.hint(strategy), "cell", "inner")
     if refine:
         pip = make_pip_refine_wkt(wkt_col)
         cand = cand.where(F.col("full") | pip(F.col(lon_col), F.col(lat_col), F.col(wkt_col)))
