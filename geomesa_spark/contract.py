@@ -756,7 +756,7 @@ def q_stats_sketches(spark, sf_dir):
 def q_raster_chips_query(spark, sf_dir):
     """Raster chip query (RasterQuery analog): fixture chip pyramid →
     bbox+zoom filter (rows-only: the chip fixture is numpy-generated)."""
-    chips = spark.createDataFrame(T.chips_pdf())
+    chips = T.chips_df(spark)  # band bytes synthesized executor-side
     sel = T.raster_query(chips, -15.0, -10.0, 15.0, 10.0, zoom=T.pick_zoom([5, 7, 9], 0.02))
     return sel.select("tile_id", "zoom", "tile_x", "tile_y").orderBy("tile_id")
 
@@ -767,7 +767,7 @@ def q_mosaic_multi(spark, sf_dir):
     stitched executor-side via groupBy(request_id).applyInPandas — no
     driver-side collect of chips (rows-only: fixture chips are
     numpy-generated; pointwise goldens live in tests/test_tiling.py)."""
-    chips = spark.createDataFrame(T.chips_pdf())
+    chips = T.chips_df(spark)  # band bytes synthesized executor-side
     reqs = spark.createDataFrame(
         pd.DataFrame(
             {

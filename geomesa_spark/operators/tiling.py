@@ -147,6 +147,46 @@ def chips_pdf(zooms=(5, 7, 9), lon_range=(-30.0, 30.0), lat_range=(-20.0, 20.0))
     )
 
 
+def chips_df(spark, zooms=(5, 7, 9), lon_range=(-30.0, 30.0), lat_range=(-20.0, 20.0)) -> "DataFrame":
+    """Distributed chips table: tile COORDINATES enumerate on the driver
+    (cheap — ints + bounds), band BYTES synthesize executor-side via
+    mapInPandas. ``chips_pdf`` materializes every 16 KB band in driver
+    memory (~150 MB at zoom 9 over the default window) — this variant is
+    the ingest shape that scales to real chip archives."""
+    rows = []
+    for z in zooms:
+        n = 1 << z
+        tx0 = int((lon_range[0] + 180.0) / 360.0 * n)
+        tx1 = int((lon_range[1] + 180.0) / 360.0 * n)
+        ty0 = int((90.0 - lat_range[1]) / 180.0 * n)
+        ty1 = int((90.0 - lat_range[0]) / 180.0 * n)
+        for ty in range(ty0, ty1 + 1):
+            for tx in range(tx0, tx1 + 1):
+                lo, la, hi, ha = tile_bounds(tx, ty, z)
+                rows.append((int((ty << 32) | tx), z, tx, ty, lo, la, hi, ha, CHIP_W, CHIP_H))
+    meta = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["tile_id", "zoom", "tile_x", "tile_y", "min_lon", "min_lat", "max_lon", "max_lat", "width", "height"],
+        )
+    ).repartition(max(2, len(rows) // 2000))
+
+    def gen(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["band"] = [
+                make_chip(int(tx), int(ty), int(z))
+                for tx, ty, z in zip(pdf["tile_x"], pdf["tile_y"], pdf["zoom"])
+            ]
+            yield pdf
+
+    schema = (
+        "tile_id long, zoom long, tile_x long, tile_y long, min_lon double, min_lat double, "
+        "max_lon double, max_lat double, width long, height long, band binary"
+    )
+    return meta.mapInPandas(gen, schema)
+
+
 def pick_zoom(available: list[int], requested_deg_per_px: float) -> int:
     """Choose the stored zoom whose resolution is closest ≥ the request
     (~ AccumuloRasterStore#getLexicodedResolution selection)."""

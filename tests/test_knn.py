@@ -77,3 +77,37 @@ def test_knn_empty_region_terminates(spark):
     got = knn_mod.knn_join(spark.createDataFrame(points), queries, 5, metric="haversine").toPandas()
     want = brute_knn(points, queries, 5, metric="haversine")
     assert sorted(got["pid"]) == sorted(want["pid"])
+
+
+def test_knn_join_large_query_set_stays_distributed(spark):
+    """Round-2 criterion: a large query set completes with driver state
+    bounded to per-qid summaries (the accumulated top-k lives in a cached
+    DataFrame, never driver pandas); results match the declarative twin."""
+    n_pts, n_q = 30_000, 1_500
+    ids = np.arange(n_pts, dtype=np.uint64)
+    lon = -30.0 + (synth.hash64(ids).astype(np.float64) / 2.0**64) * 60.0
+    lat = -25.0 + (synth.hash64(ids + np.uint64(7)).astype(np.float64) / 2.0**64) * 50.0
+    points = pd.DataFrame({"pid": ids.astype(np.int64), "lon": lon, "lat": lat})
+    qi = np.arange(n_q, dtype=np.uint64)
+    queries = pd.DataFrame(
+        {
+            "qid": qi.astype(np.int64),
+            "lon": -28.0 + (synth.hash64(qi + np.uint64(3)).astype(np.float64) / 2.0**64) * 56.0,
+            "lat": -23.0 + (synth.hash64(qi + np.uint64(4)).astype(np.float64) / 2.0**64) * 46.0,
+        }
+    )
+    df = spark.createDataFrame(points).repartition(8)
+    got = (
+        knn_mod.knn_join(df, queries, 5, metric="planar")
+        .toPandas()
+        .sort_values(["qid", "rnk"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == n_q * 5
+    twin = (
+        knn_mod.knn_join_crossjoin(df, spark.createDataFrame(queries), 5, metric="planar")
+        .toPandas()
+        .sort_values(["qid", "rnk"])
+        .reset_index(drop=True)
+    )
+    assert got[["qid", "pid", "rnk"]].values.tolist() == twin[["qid", "pid", "rnk"]].values.tolist()

@@ -142,3 +142,17 @@ def test_mosaic_path_has_no_driver_collect():
 
     src = inspect.getsource(T.mosaic_requests) + inspect.getsource(T._stitch_group)
     assert ".collect()" not in src  # the stitch is executor-side (applyInPandas)
+
+
+def test_chips_df_matches_chips_pdf(spark):
+    want = T.chips_pdf(zooms=(5,), lon_range=(-10.0, 10.0), lat_range=(-8.0, 8.0))
+    got = (
+        T.chips_df(spark, zooms=(5,), lon_range=(-10.0, 10.0), lat_range=(-8.0, 8.0))
+        .toPandas()
+        .sort_values("tile_id")
+        .reset_index(drop=True)
+    )
+    want = want.sort_values("tile_id").reset_index(drop=True)
+    assert list(got["tile_id"]) == list(want["tile_id"])
+    for a, b in zip(got["band"], want["band"]):
+        assert bytes(a) == bytes(b)
