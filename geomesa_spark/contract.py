@@ -1075,7 +1075,12 @@ def _minhash_sig_sql() -> str:
     ),
 )
 def q_minhash_signatures(spark, sf_dir):
-    """MinHash signatures (16 hashes) per document — the LSH building block."""
+    """MinHash signatures (16 hashes) per document — the LSH building block.
+
+    All 16 per-hash minima evaluate as ONE wide aggregation over the word
+    table (codegen `min((a_i*h+b_i) % P)` expressions), then unpivot to
+    the (doc_id, i, sig) shape — the word rows shuffle once at 1× volume
+    instead of 16× through a coefficient cross-join."""
     d = _load(spark, sf_dir, "documents")
     words = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
@@ -1085,15 +1090,14 @@ def q_minhash_signatures(spark, sf_dir):
     wh = words.withColumn(
         "h", F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10).cast("long") % MINHASH_P
     )
-    coef = F.broadcast(
-        words.sparkSession.createDataFrame(
-            pd.DataFrame({"i": np.arange(MINHASH_N, dtype=np.int64), "a": MINHASH_A, "b": MINHASH_B})
-        )
-    )
+    mins = [
+        F.min((F.lit(int(MINHASH_A[i])) * F.col("h") + F.lit(int(MINHASH_B[i]))) % MINHASH_P).alias(f"m{i}")
+        for i in range(MINHASH_N)
+    ]
+    wide = wh.groupBy("doc_id").agg(*mins)
+    stack = ", ".join(f"cast({i} as bigint), m{i}" for i in range(MINHASH_N))
     return (
-        wh.crossJoin(coef)
-        .groupBy("doc_id", "i")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % MINHASH_P).alias("sig"))
+        wide.select("doc_id", F.expr(f"stack({MINHASH_N}, {stack}) as (i, sig)"))
         .orderBy("doc_id", "i")
     )
 
@@ -1353,20 +1357,20 @@ def q_simhash_neardup_pairs(spark, sf_dir):
     wh = words.withColumn(
         "h", F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10).cast("long")
     )
-    bits_idx = F.broadcast(
-        d.sparkSession.createDataFrame(pd.DataFrame({"i": np.arange(SIMHASH_PAIR_BITS, dtype=np.int64)}))
-    )
-    bits = (
-        wh.crossJoin(bits_idx)
-        .withColumn("vote", F.expr("case when (h div (cast(1 as bigint) << cast(i as int))) % 2 = 1 then 1 else -1 end"))
-        .groupBy("doc_id", "i")
-        .agg(F.sum("vote").alias("s"))
-    )
-    sig = (
-        bits.withColumn("bit", F.expr("case when s > 0 then (cast(1 as bigint) << cast(i as int)) else cast(0 as bigint) end"))
-        .groupBy("doc_id")
-        .agg(F.sum("bit").cast("long").alias("sh"))
-    )
+    # 60 per-bit vote sums as ONE aggregation (codegen bit tests) — no
+    # 60× row explode: the word table shuffles once on doc_id, period.
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_PAIR_BITS)
+    ]
+    per_doc = wh.groupBy("doc_id").agg(*votes)
+    pack = None
+    for b in range(SIMHASH_PAIR_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long") * (1 << b)).otherwise(F.lit(0).cast("long"))
+        pack = term if pack is None else pack + term
+    sig = per_doc.select("doc_id", pack.alias("sh"))
     n_bands = SIMHASH_PAIR_BITS // SIMHASH_BAND_BITS
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = sig.select(

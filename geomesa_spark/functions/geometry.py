@@ -512,9 +512,12 @@ def relate_geoms(ka, ca, oa, kb, cb, ob) -> Relate:
         # proper crossings are boundary∩boundary points too
         boundary_contact = proper or touch or (cls_a_in_b == 1).any() or (cls_b_in_a == 1).any()
         r.ii = bool(proper or a_sample_in or b_sample_in or r.equal)
-        r.bb = bool(boundary_contact)
-        r.a_covers_b = bool(not proper and (cls_b_in_a > 0).all())
-        r.b_covers_a = bool(not proper and (cls_a_in_b > 0).all())
+        r.bb = bool(boundary_contact or r.equal)
+        # `or r.equal`: identical geometries trivially cover each other —
+        # decided from canonical coordinates, immune to the midpoint
+        # rounding that can misclassify boundary samples on thin shapes
+        r.a_covers_b = bool((not proper and (cls_b_in_a > 0).all()) or r.equal)
+        r.b_covers_a = bool((not proper and (cls_a_in_b > 0).all()) or r.equal)
         r.any_contact = bool(r.ii or r.bb)
         return r
 
