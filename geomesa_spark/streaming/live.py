@@ -44,6 +44,30 @@ def read_pages_stream(spark: SparkSession, path: str, max_files_per_trigger: int
     )
 
 
+SOCKET_WIRE_COLS = ("url", "warc_ts", "lon", "lat")
+
+
+def read_events_socket(spark: SparkSession, host: str = "127.0.0.1", port: int = 9999) -> DataFrame:
+    """NETWORK streaming source (TCP socket) — the offline analog of the
+    Kafka consumer: an unbounded feed of records over a connection, one
+    TSV record per line (``url\\tepoch_sec\\tlon\\tlat``). Everything
+    downstream (live_view / windowed_cell_counts / stream_to_table) is
+    source-agnostic, so swapping in ``format("kafka")`` on a real cluster
+    changes ONLY this reader."""
+    raw = (
+        spark.readStream.format("socket").option("host", host).option("port", port).load()
+    )
+    parts = F.split(F.col("value"), "\t")
+    # F.get (not getItem): malformed lines yield NULLs instead of an ANSI
+    # INVALID_ARRAY_INDEX error that would kill the stream
+    return raw.select(
+        F.get(parts, 0).alias("url"),
+        F.to_timestamp(F.get(parts, 1).try_cast("double")).alias("warc_ts"),
+        F.get(parts, 2).try_cast("double").alias("lon"),
+        F.get(parts, 3).try_cast("double").alias("lat"),
+    ).where(F.col("warc_ts").isNotNull())
+
+
 def live_view(stream: DataFrame, ttl: str = "1 hour", id_col: str = "url", ts_col: str = "warc_ts") -> DataFrame:
     """Latest-state-per-id live view with TTL expiry (KafkaDataStore
     semantics): watermark bounds state, duplicates within the watermark

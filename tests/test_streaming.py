@@ -128,3 +128,61 @@ def test_stream_to_table_commits_and_restart_is_idempotent(spark, stream_dir, tm
     q2.stop()
     assert M.completed_partitions(root, "pages") == parts1
     assert M.read_table(spark, root, "pages").count() == rows1
+
+
+def test_socket_source_end_to_end(spark):
+    """A real network source: TCP server feeds TSV records; the stream
+    parses them into the pages schema and a per-cell aggregation runs on
+    top — proving the reader swap (socket ↔ kafka) is the only
+    source-specific piece."""
+    import socket
+    import threading
+    import time
+
+    from geomesa_spark.streaming import live as L
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    srv.listen(1)
+    lines = [
+        f"http://ex.com/{i}\t{1700000000 + i}\t{2.351 + i * 0.0001}\t{48.857}\n" for i in range(20)
+    ] + ["garbage-line-no-tabs\n"]
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            for ln in lines:
+                conn.sendall(ln.encode())
+            time.sleep(8)  # keep the pipe open while micro-batches drain
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    stream = L.read_events_socket(spark, "127.0.0.1", port)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("socket_rows")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            if q.exception() is not None:
+                raise AssertionError(f"stream failed: {q.exception()}")
+            n = spark.sql("select count(*) c from socket_rows").collect()[0]["c"]
+            if n >= 20:
+                break
+            time.sleep(1)
+        assert n == 20  # garbage line dropped by the parse filter
+        got = spark.sql("select * from socket_rows order by url").collect()
+        assert got[0]["url"] == "http://ex.com/0"
+        assert abs(got[0]["lon"] - 2.351) < 1e-9
+        assert got[0]["warc_ts"] is not None
+    finally:
+        q.stop()
+        srv.close()
