@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "mosaic_multi",
     "regional_supplier_revenue",
+    "ngram_minhash_dedup",
+    "token_counts_regex",
+    "media_features",
+    "poly_pair_relations",
 ]
 
 
