@@ -1282,9 +1282,12 @@ def _ngram_sql_parts() -> str:
     )
     return (
         "pos as (select doc_id, text, unnest(range(1, greatest(length(text), 1) + 1)) i from documents), "
-        "grams as (select distinct doc_id, substring(text, i, 3) g from pos "
-        "where length(substring(text, i, 3)) = 3), "
-        "gh as (select doc_id, ('0x' || substring(md5(g), 1, 15))::bigint % 2147483647 h from grams), "
+        # grams carry an int64 md5-identity, not the string: joins and
+        # distincts shuffle 8-byte keys (collisions over a ~10^5-gram
+        # vocabulary are ~2^-40 — and both engines hash identically)
+        "grams as (select distinct doc_id, ('0x' || substring(md5(substring(text, i, 3)), 1, 15))::bigint g "
+        "from pos where length(substring(text, i, 3)) = 3), "
+        "gh as (select doc_id, g % 2147483647 h from grams), "
         f"sig as (select doc_id, {mins} from gh group by doc_id), "
         f"bands as (({band_rows})), "
         "sized as (select *, count(*) over (partition by band, bsig) bn from bands), "
@@ -1315,19 +1318,25 @@ def q_ngram_minhash_dedup(spark, sf_dir):
     candidate pairs → EXACT shingle-Jaccard verification computed only
     for candidates (never all pairs). The oracle mirrors every stage."""
     d = _load(spark, sf_dir, "documents")
+    # int64 gram identity (md5 60-bit) — distinct/joins shuffle 8-byte
+    # keys; persisted because the gram table feeds FOUR consumers
+    # (signatures, sizes, and both sides of the intersection join)
     grams = (
         d.select(
             "doc_id",
             F.explode(
                 F.expr("transform(sequence(1, greatest(length(text), 1)), i -> substring(text, i, 3))")
-            ).alias("g"),
+            ).alias("gs"),
         )
-        .where(F.length("g") == 3)
+        .where(F.length("gs") == 3)
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5(F.col("gs").cast("binary")), 1, 15), 16, 10).cast("long").alias("g"),
+        )
         .distinct()
+        .persist()
     )
-    gh = grams.withColumn(
-        "h", F.conv(F.substring(F.md5(F.col("g").cast("binary")), 1, 15), 16, 10).cast("long") % MINHASH_P
-    )
+    gh = grams.withColumn("h", F.col("g") % MINHASH_P)
     mins = [
         F.min((F.lit(int(MINHASH_A[i])) * F.col("h") + F.lit(int(MINHASH_B[i]))) % MINHASH_P).alias(f"m{i}")
         for i in range(MINHASH_N)
