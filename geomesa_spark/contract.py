@@ -1266,6 +1266,7 @@ def q_poly_pair_relations(spark, sf_dir):
 
 
 NGRAM_JACCARD_THRESHOLD = 0.8
+_NGRAM_GRAM_CACHE: list = []  # latest persisted gram table (bounded leak)
 
 
 def _ngram_sql_parts() -> str:
@@ -1336,6 +1337,14 @@ def q_ngram_minhash_dedup(spark, sf_dir):
         .distinct()
         .persist()
     )
+    # bound the cache: a long-lived driver re-invoking this query must not
+    # accumulate persisted gram tables — keep only the latest
+    while _NGRAM_GRAM_CACHE:
+        try:
+            _NGRAM_GRAM_CACHE.pop().unpersist()
+        except Exception:
+            pass
+    _NGRAM_GRAM_CACHE.append(grams)
     gh = grams.withColumn("h", F.col("g") % MINHASH_P)
     mins = [
         F.min((F.lit(int(MINHASH_A[i])) * F.col("h") + F.lit(int(MINHASH_B[i]))) % MINHASH_P).alias(f"m{i}")
@@ -1406,7 +1415,8 @@ SIMHASH_BITS = 16
 def q_simhash_fingerprints(spark, sf_dir):
     """SimHash document fingerprints: per bit, the sign of the sum of
     ±1 votes from each distinct word's hash bit — near-dup docs differ
-    in few bits (Hamming-distance dedup). Exact integer arithmetic."""
+    in few bits (Hamming-distance dedup). Exact integer arithmetic; all
+    16 bit-vote sums run as ONE wide aggregation (no 16× row explode)."""
     d = _load(spark, sf_dir, "documents")
     words = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
@@ -1416,22 +1426,18 @@ def q_simhash_fingerprints(spark, sf_dir):
     wh = words.withColumn(
         "h", F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10).cast("long") % MINHASH_P
     )
-    bits_idx = F.broadcast(
-        d.sparkSession.createDataFrame(pd.DataFrame({"i": np.arange(SIMHASH_BITS, dtype=np.int64)}))
-    )
-    pow2 = "cast(pow(2, i) as bigint)"  # exact for i <= 15
-    bits = (
-        wh.crossJoin(bits_idx)
-        .withColumn("vote", F.expr(f"case when (h div {pow2}) % 2 = 1 then 1 else -1 end"))
-        .groupBy("doc_id", "i")
-        .agg(F.sum("vote").alias("s"))
-    )
-    return (
-        bits.withColumn("bit", F.expr(f"case when s > 0 then {pow2} else 0 end"))
-        .groupBy("doc_id")
-        .agg(F.sum("bit").cast("long").alias("simhash"))
-        .orderBy("doc_id")
-    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    wide = wh.groupBy("doc_id").agg(*votes)
+    pack = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        pack = term if pack is None else pack + term
+    return wide.select("doc_id", pack.alias("simhash")).orderBy("doc_id")
 
 
 SIMHASH_HAMMING_MAX = 3
