@@ -152,3 +152,114 @@ def stream_to_table(
         .outputMode("append")
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# track/session assembly on streams (SURVEY.md §2.9 "custom stateful")
+# ---------------------------------------------------------------------------
+
+
+def track_sessions(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    id_col: str = "url",
+    ts_col: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Declarative session assembly: per-id session windows that close
+    after ``gap`` of event-time silence (built-in session_window +
+    watermark). The streaming analog of batch track assembly."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(id_col, F.session_window(ts_col, gap).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_fixes"))
+        .select(
+            id_col,
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_fixes",
+        )
+    )
+
+
+SESSION_OUTPUT_SCHEMA = "id string, session_start timestamp, last_ts timestamp, n_fixes long"
+SESSION_STATE_SCHEMA = "start_ms long, last_ms long, n long"
+
+
+def stateful_track_assembler(
+    stream: DataFrame,
+    gap_sec: int = 1800,
+    id_col: str = "url",
+    ts_col: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """CUSTOM stateful session assembly via ``applyInPandasWithState``
+    (the escape hatch for operators session_window can't express —
+    arbitrary per-key state machines). Per id, state holds
+    (session_start, last_ts, n_fixes); an event-time timeout ``gap_sec``
+    past the last fix closes the session and emits ONE row. Semantically
+    a twin of ``track_sessions`` for gap-based sessions (test-asserted);
+    the state machine is the extension point for richer lifecycle logic
+    (e.g. emit-on-N-fixes, per-segment geometry accumulation)."""
+    import pandas as pd  # noqa: F811 (worker-side import)
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_sec * 1000
+
+    def assemble(key, pdfs, state: GroupState):
+        def row(start_ms, last_ms, n):
+            return pd.DataFrame(
+                {
+                    "id": [key[0]],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                    "last_ts": [pd.Timestamp(last_ms, unit="ms")],
+                    "n_fixes": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_ms, last_ms, n = state.get
+            state.remove()
+            yield row(start_ms, last_ms, n)
+            return
+        ts_ms: list[int] = []
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf[ts_col])
+            ts_ms.extend(int(v) // 1_000_000 for v in ts.astype("int64"))
+        if not ts_ms:
+            return
+        ts_ms.sort()
+        # sessionize this batch's fixes: gap-separated (start, last, n) runs
+        groups: list[list[int]] = []
+        for t in ts_ms:
+            if groups and t - groups[-1][1] <= gap_ms:
+                groups[-1][1] = t
+                groups[-1][2] += 1
+            else:
+                groups.append([t, t, 1])
+        # merge the carried-over open session: extend the first run if it
+        # continues it, otherwise the old session is complete — data for a
+        # NEW session can arrive before the old one's event-time timeout
+        if state.exists:
+            s0, s1, sn = state.get
+            if groups and groups[0][0] - s1 <= gap_ms:
+                groups[0] = [min(s0, groups[0][0]), max(s1, groups[0][1]), sn + groups[0][2]]
+            else:
+                groups.insert(0, [s0, s1, sn])
+        for g in groups[:-1]:  # every run but the last is already closed
+            yield row(*g)
+        state.update(tuple(groups[-1]))
+        state.setTimeoutTimestamp(groups[-1][1] + gap_ms)
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(id_col))
+        .applyInPandasWithState(
+            assemble,
+            SESSION_OUTPUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

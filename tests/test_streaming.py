@@ -186,3 +186,73 @@ def test_socket_source_end_to_end(spark):
     finally:
         q.stop()
         srv.close()
+
+
+@pytest.fixture(scope="module")
+def session_stream_dir(tmp_path_factory):
+    """Three micro-batches of per-user fixes with gaps: user u0 has two
+    sessions (fixes at t0..t0+20min, then t0+3h..t0+3h10), u1 one
+    session; a final far-future batch advances the watermark so every
+    session closes."""
+    d = str(tmp_path_factory.mktemp("session_stream"))
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def mk(rows, name):
+        pd.DataFrame(rows, columns=["url", "warc_ts"]).to_parquet(
+            os.path.join(d, name), index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+
+    mk(
+        [("u0", t0 + pd.Timedelta(minutes=m)) for m in (0, 5, 20)]
+        + [("u1", t0 + pd.Timedelta(minutes=m)) for m in (2, 9)],
+        "b0.parquet",
+    )
+    mk(
+        [("u0", t0 + pd.Timedelta(hours=3) + pd.Timedelta(minutes=m)) for m in (0, 10)],
+        "b1.parquet",
+    )
+    mk([("uz", t0 + pd.Timedelta(days=30))], "b2.parquet")
+    return d
+
+
+SESSION_SCHEMA = "url string, warc_ts timestamp"
+
+
+def _session_stream(spark, path):
+    return (
+        spark.readStream.schema(SESSION_SCHEMA).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+
+
+def test_track_sessions_declarative(spark, session_stream_dir):
+    stream = _session_stream(spark, session_stream_dir)
+    q = _run_stream(live.track_sessions(stream, gap="30 minutes", watermark="10 seconds"), "sess_decl")
+    out = spark.sql("select * from sess_decl order by url, session_start").toPandas()
+    closed = out[out["url"].isin(["u0", "u1"])]
+    assert len(closed) == 3  # u0 x2 sessions, u1 x1
+    assert list(closed["n_fixes"]) == [3, 2, 2]
+    q.stop()
+
+
+def test_stateful_track_assembler_matches_declarative(spark, session_stream_dir):
+    stream = _session_stream(spark, session_stream_dir)
+    q = _run_stream(
+        live.stateful_track_assembler(stream, gap_sec=1800, watermark="10 seconds"), "sess_state"
+    )
+    out = spark.sql("select * from sess_state order by id, session_start").toPandas()
+    closed = out[out["id"].isin(["u0", "u1"])]
+    assert len(closed) == 3
+    assert list(closed["n_fixes"]) == [3, 2, 2]
+    # session bounds equal the declarative twin's fix extents
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    assert list(closed["session_start"]) == [
+        t0,
+        t0 + pd.Timedelta(hours=3),
+        t0 + pd.Timedelta(minutes=2),
+    ]
+    assert list(closed["last_ts"]) == [
+        t0 + pd.Timedelta(minutes=20),
+        t0 + pd.Timedelta(hours=3, minutes=10),
+        t0 + pd.Timedelta(minutes=9),
+    ]
+    q.stop()
