@@ -110,6 +110,66 @@ def st_geomFromWKB(wkb: pd.Series) -> pd.Series:
     return wkb.map(rd)
 
 
+def _geohash_cells(gh: pd.Series):
+    """(lon_center, lat_center, half_w, half_h) arrays per row, grouped by
+    precision (geohash strings of mixed lengths decode per group)."""
+    vals = gh.to_numpy(object)
+    lon = np.full(len(vals), np.nan)
+    lat = np.full(len(vals), np.nan)
+    hw = np.full(len(vals), np.nan)
+    hh = np.full(len(vals), np.nan)
+    lens = np.array([len(v) if isinstance(v, str) else -1 for v in vals])
+    for p in np.unique(lens):
+        if p <= 0:
+            continue
+        m = lens == p
+        arr = np.array([vals[i].encode() for i in np.nonzero(m)[0]], dtype=f"S{p}")
+        lo, la = C.geohash_decode(arr)
+        lon[m], lat[m] = lo, la
+        nbits = 5 * int(p)
+        hw[m] = 360.0 / (1 << ((nbits + 1) // 2)) / 2.0
+        hh[m] = 180.0 / (1 << (nbits // 2)) / 2.0
+    return lon, lat, hw, hh
+
+
+@F.pandas_udf(StringType())
+def st_pointFromGeoHash(gh: pd.Series) -> pd.Series:
+    """GeoHash → POINT at the cell center."""
+    lon, lat, _hw, _hh = _geohash_cells(gh)
+    return pd.Series(
+        [None if np.isnan(x) else geo.wkt_point(x, y) for x, y in zip(lon, lat)]
+    )
+
+
+@F.pandas_udf(StringType())
+def st_geomFromGeoHash(gh: pd.Series) -> pd.Series:
+    """GeoHash → its cell bbox POLYGON (st_box2DFromGeoHash alias)."""
+    lon, lat, hw, hh = _geohash_cells(gh)
+    out = []
+    for x, y, w, h in zip(lon, lat, hw, hh):
+        if np.isnan(x):
+            out.append(None)
+            continue
+        ring = geo.make_bbox_ring(x - w, y - h, x + w, y + h)
+        out.append(geo.wkt_polygon(ring, np.asarray([0, len(ring)])))
+    return pd.Series(out)
+
+
+@F.pandas_udf(StringType())
+def st_pointFromText(wkt: pd.Series) -> pd.Series:
+    return _per_unique(wkt, lambda k, c, o: geo.wkt_any(k, c, o) if k == "POINT" else None, object)
+
+
+@F.pandas_udf(StringType())
+def st_lineFromText(wkt: pd.Series) -> pd.Series:
+    return _per_unique(wkt, lambda k, c, o: geo.wkt_any(k, c, o) if k == "LINESTRING" else None, object)
+
+
+@F.pandas_udf(StringType())
+def st_polygonFromText(wkt: pd.Series) -> pd.Series:
+    return _per_unique(wkt, lambda k, c, o: geo.wkt_any(k, c, o) if k == "POLYGON" else None, object)
+
+
 # --- accessors --------------------------------------------------------------
 
 
@@ -607,6 +667,12 @@ ALL_FUNCTIONS = {
     "st_makeLine": st_makeLine,
     "st_makePolygon": st_makePolygon,
     "st_geomFromWKB": st_geomFromWKB,
+    "st_pointFromGeoHash": st_pointFromGeoHash,
+    "st_geomFromGeoHash": st_geomFromGeoHash,
+    "st_box2DFromGeoHash": st_geomFromGeoHash,
+    "st_pointFromText": st_pointFromText,
+    "st_lineFromText": st_lineFromText,
+    "st_polygonFromText": st_polygonFromText,
     "st_x": st_x,
     "st_y": st_y,
     "st_envelope": st_envelope,

@@ -284,3 +284,26 @@ def test_casts(registered):
     """).collect()[0]
     assert r["p"] == "POINT (1 2)" and r["notp"] is None
     assert r["poly"] is not None and r["g"] is not None
+
+
+def test_geohash_constructors_roundtrip(registered):
+    spark = registered
+    r = spark.sql("""
+        select
+          st_pointFromGeoHash(st_geoHash(2.351, 48.857, 9)) p9,
+          st_geomFromGeoHash(st_geoHash(2.351, 48.857, 5)) box5,
+          st_box2DFromGeoHash(st_geoHash(2.351, 48.857, 5)) box5b,
+          st_contains(st_geomFromGeoHash(st_geoHash(2.351, 48.857, 5)), 'POINT (2.351 48.857)') inside,
+          st_pointFromText('POINT (1 2)') pt,
+          st_lineFromText('LINESTRING (0 0, 1 1)') ln,
+          st_polygonFromText('POINT (1 2)') not_poly
+    """).collect()[0]
+    # 9-char geohash center is within ~1e-4 deg of the input
+    import re
+
+    x, y = map(float, re.findall(r"-?[\d.]+", r["p9"]))
+    assert abs(x - 2.351) < 1e-3 and abs(y - 48.857) < 1e-3
+    assert r["box5"].startswith("POLYGON") and r["box5"] == r["box5b"]
+    assert r["inside"] is True
+    assert r["pt"] == "POINT (1 2)" and r["ln"].startswith("LINESTRING")
+    assert r["not_poly"] is None
