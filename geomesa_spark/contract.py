@@ -360,6 +360,23 @@ def q_dwithin_planar(spark, sf_dir):
     return out.select(F.col("qid").cast("long"), F.col("pid").cast("long")).orderBy("qid", "pid")
 
 
+@_q(
+    "dwithin_stored",
+    f"with pts as ({POINTS_SQL}), {_qpoints_cte(DWITHIN_QUERIES)} "
+    "select q.qid, p.pid from pts p cross join q "
+    "where (p.lon - q.qlon) * (p.lon - q.qlon) + (p.lat - q.qlat) * (p.lat - q.qlat) "
+    f"<= {_f(DWITHIN_DEG * DWITHIN_DEG)} order by qid, pid",
+)
+def q_dwithin_stored(spark, sf_dir):
+    """Big×big dwithin: the query side is a stored DataFrame whose cell
+    disks explode on executors (no driver loop), joined sort-merge on
+    cell + exact refine — identical output to the broadcast path."""
+    pts = events_points(spark, sf_dir)
+    qdf = spark.createDataFrame(DWITHIN_QUERIES)
+    out = SJ.distance_join_stored(pts, qdf, DWITHIN_DEG, level=GRID_LEVEL)
+    return out.select(F.col("qid").cast("long"), F.col("pid").cast("long")).orderBy("qid", "pid")
+
+
 # ---------------------------------------------------------------------------
 # §2.8 tiling / raster↔vector
 # ---------------------------------------------------------------------------
@@ -1740,6 +1757,38 @@ def q_doc_fingerprints(spark, sf_dir):
     """Document fingerprinting (content hash prefix)."""
     d = _load(spark, sf_dir, "documents")
     return d.select("doc_id", F.substring(F.md5(F.col("text").cast("binary")), 1, 16).alias("fp")).orderBy("doc_id")
+
+
+@_q("hex_rollup", None)
+def q_hex_rollup(spark, sf_dir):
+    """Aperture-7 hex pyramid rollup (H3-semantics layer): events → res-7
+    hex histogram → re-key every cell to its res-5 ancestor (two
+    hex_parent steps, vectorized UDF) → re-aggregate. Rows-only: hex math
+    is not SQL-expressible. Mirrors tile_rollup for the icosahedral grid."""
+    from geomesa_spark.functions import hexgrid as H
+
+    pts = events_points(spark, sf_dir)
+
+    @F.pandas_udf("long")
+    def hex7(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(H.hex_encode(lon.to_numpy(np.float64), lat.to_numpy(np.float64), 7))
+
+    @F.pandas_udf("long")
+    def parent5(cell: pd.Series) -> pd.Series:
+        return pd.Series(H.hex_parent(cell.to_numpy(np.int64), 5))
+
+    h7 = (
+        pts.withColumn("hex7", hex7("lon", "lat"))
+        .groupBy("hex7")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        h7.withColumn("hex5", parent5("hex7"))
+        .groupBy("hex5")
+        .agg(F.sum("n").alias("n"))
+        .orderBy(F.desc("n"), "hex5")
+        .limit(200)
+    )
 
 
 @_q("media_features", None)

@@ -390,6 +390,57 @@ def distance_join(
     return joined.withColumn("dist_m", dist).where(F.col("dist_m") <= radius_m).drop("cell")
 
 
+def distance_join_stored(
+    points: DataFrame,
+    queries: DataFrame,
+    radius_deg: float,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    level: int = DEFAULT_LEVEL,
+    strategy: str = "merge",
+) -> DataFrame:
+    """dwithin join where the QUERY side is a big stored table (planar
+    metric): each query row's cell disk explodes ON EXECUTORS
+    (mapInPandas), both sides shuffle on cell (sort-merge by default —
+    same stats-blindness rationale as ``pip_join_stored``), exact
+    distance refines. ``distance_join`` keeps the broadcast path for
+    small driver-side query sets; this is the big×big twin.
+
+    queries: DataFrame(qid, lon, lat)."""
+    nx, ny = C.grid_shape(level)
+    rx = int(radius_deg / (360.0 / nx)) + 1
+    ry = int(radius_deg / (180.0 / ny)) + 1
+    r_cells = max(rx, ry)
+
+    def explode_disks(batches):
+        for pdf in batches:
+            out_cell, out_qid, out_lon, out_lat = [], [], [], []
+            centers = C.grid_encode(pdf["lon"].to_numpy(np.float64), pdf["lat"].to_numpy(np.float64), level)
+            for qid, qlon, qlat, center in zip(pdf["qid"], pdf["lon"], pdf["lat"], centers):
+                disk = C.grid_disk(int(center), r_cells, level)
+                out_cell.extend(int(c) for c in disk)
+                out_qid.extend([int(qid)] * len(disk))
+                out_lon.extend([float(qlon)] * len(disk))
+                out_lat.extend([float(qlat)] * len(disk))
+            yield pd.DataFrame({"cell": out_cell, "qid": out_qid, "q_lon": out_lon, "q_lat": out_lat})
+
+    cand_cells = queries.select("qid", "lon", "lat").mapInPandas(
+        explode_disks, "cell long, qid long, q_lon double, q_lat double"
+    )
+    pts = with_grid_cell(points, lon_col, lat_col, level)
+    if strategy == "broadcast":
+        joined = pts.join(F.broadcast(cand_cells), "cell", "inner")
+    else:
+        joined = pts.join(cand_cells.hint(strategy), "cell", "inner")
+    dx = F.col(lon_col) - F.col("q_lon")
+    dy = F.col(lat_col) - F.col("q_lat")
+    return (
+        joined.withColumn("dist2", dx * dx + dy * dy)
+        .where(F.col("dist2") <= radius_deg * radius_deg)
+        .drop("cell")
+    )
+
+
 def haversine_expr(lon1: str, lat1: str, lon2: str, lat2: str):
     """Haversine distance (meters) as a pure Catalyst expression."""
     r = F.lit(geo.EARTH_RADIUS_M)
