@@ -263,3 +263,37 @@ def stateful_track_assembler(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_pip_counts(
+    stream: DataFrame,
+    polys,
+    window: str = "10 minutes",
+    level: int = 8,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    ts_col: str = "warc_ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming spatial join: the SAME two-phase PIP operator the batch
+    engine uses (cell equi-join against the broadcast polygon cover +
+    vectorized refine), applied to a stream, rolled into event-time
+    windows — the "CQL filter on stream" equivalence, per-polygon.
+    Stream-static joins need no state; only the windowed count does."""
+    from geomesa_spark.operators.spatial_join import (
+        make_pip_refine,
+        polygon_cover_pdf,
+        with_grid_cell,
+    )
+
+    spark = stream.sparkSession
+    covers = F.broadcast(spark.createDataFrame(polygon_cover_pdf(polys, level)))
+    cells = with_grid_cell(stream.withWatermark(ts_col, watermark), lon_col, lat_col, level)
+    cand = cells.join(covers, "cell", "inner")
+    pip = make_pip_refine(polys)
+    matched = cand.where(F.col("full") | pip(F.col(lon_col), F.col(lat_col), F.col("polygon_id")))
+    return (
+        matched.groupBy(F.window(ts_col, window).alias("win"), "polygon_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "polygon_id", "n")
+    )

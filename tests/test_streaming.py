@@ -256,3 +256,47 @@ def test_stateful_track_assembler_matches_declarative(spark, session_stream_dir)
         t0 + pd.Timedelta(minutes=9),
     ]
     q.stop()
+
+
+def test_streaming_pip_counts_matches_batch(spark, session_stream_dir, tmp_path):
+    """The streaming PIP join (stream-static cover join + refine +
+    event-time windows) produces exactly the batch engine's counts."""
+    from geomesa_spark.operators.spatial_join import broadcast_pip_join
+
+    # points stream: deterministic fixes spread across polygons
+    d = str(tmp_path / "pip_stream")
+    os.makedirs(d)
+    ids = np.arange(4000, dtype=np.uint64)
+    lon = -180.0 + (synth.hash64(ids).astype(np.float64) / 2.0**64) * 360.0
+    lat = -85.0 + (synth.hash64(ids + np.uint64(3)).astype(np.float64) / 2.0**64) * 170.0
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta((ids % 50).astype(np.int64), unit="m")
+    pdf = pd.DataFrame({"url": [f"u{i}" for i in ids], "warc_ts": ts, "lon": lon, "lat": lat})
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(os.path.join(d, "b0.parquet"), index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    pdf.iloc[half:].to_parquet(os.path.join(d, "b1.parquet"), index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+
+    polys = synth.polygons()
+    stream = (
+        spark.readStream.schema("url string, warc_ts timestamp, lon double, lat double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = _run_stream(
+        live.streaming_pip_counts(stream, polys, window="10 minutes"), "pip_stream_t", mode="complete"
+    )
+    got = spark.sql("select * from pip_stream_t").toPandas()
+
+    batch = broadcast_pip_join(spark.createDataFrame(pdf), polys)
+    want = (
+        batch.groupBy(
+            F.window("warc_ts", "10 minutes").alias("win"), "polygon_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "polygon_id", "n")
+        .toPandas()
+    )
+    key = ["win_start", "polygon_id"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    assert got_s.equals(want_s)
+    q.stop()
