@@ -80,7 +80,11 @@ def bench_diff(current: dict) -> dict | None:
     except Exception:
         return None
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    if str(prev.get("sf")) != sf or prev.get("cpus") != CPUS:
+    try:
+        same_sf = float(prev.get("sf")) == float(sf)
+    except (TypeError, ValueError):
+        same_sf = str(prev.get("sf")) == sf
+    if not same_sf or prev.get("cpus") != CPUS:
         return None  # only diff apples-to-apples configs
     prev_q = prev.get("queries") or {}
     delta = {}

@@ -1269,7 +1269,9 @@ def q_poly_pair_relations(spark, sf_dir):
     from geomesa_spark.functions import st_functions as ST
 
     pairs, geoms = _relation_pair_fixture()
-    wkts = {g: geo.wkt_polygon(c, o) for g, (c, o) in geoms.items()}
+    # full-precision WKT: the oracle embeds exact float64 coords, so the
+    # kernel must parse back the SAME values (wkt_polygon is %.10g-lossy)
+    wkts = {g: geo.wkt_polygon_exact(c, o) for g, (c, o) in geoms.items()}
     pdf = pd.DataFrame(
         [(pid, wkts[a], wkts[b]) for pid, a, b in pairs], columns=["pair_id", "a", "b"]
     )
@@ -1295,7 +1297,10 @@ def _ngram_sql_parts() -> str:
         for i in range(MINHASH_N)
     )
     band_rows = ") union all (".join(
-        f"select doc_id, {b} band, concat_ws(',', m{4*b}, m{4*b+1}, m{4*b+2}, m{4*b+3}) bsig from sig"
+        "select doc_id, {b} band, concat_ws(',', {cols}) bsig from sig".format(
+            b=b,
+            cols=", ".join(f"m{MINHASH_BAND_ROWS*b + j}" for j in range(MINHASH_BAND_ROWS)),
+        )
         for b in range(MINHASH_N // MINHASH_BAND_ROWS)
     )
     return (
@@ -1375,7 +1380,7 @@ def q_ngram_minhash_dedup(spark, sf_dir):
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.concat_ws(",", *[F.col(f"m{4*b+j}") for j in range(4)]).alias("bsig"),
+                    F.concat_ws(",", *[F.col(f"m{MINHASH_BAND_ROWS*b+j}") for j in range(MINHASH_BAND_ROWS)]).alias("bsig"),
                 )
                 for b in range(n_bands)
             ])

@@ -669,13 +669,15 @@ def wkt_any(kind: str, coords: np.ndarray, ring_offsets: np.ndarray) -> str:
         return wkt_linestring(coords)
     if kind == "POLYGON":
         return wkt_polygon(coords, ring_offsets)
-    # MULTIPOLYGON: each ring emitted as a single-ring member polygon
-    parts = []
-    for r in range(len(ring_offsets) - 1):
+    # MULTIPOLYGON: reconstruct shell/hole grouping by containment depth
+    def ring_txt(r):
         ring = coords[ring_offsets[r]:ring_offsets[r + 1]]
-        pts = ", ".join(f"{x:.10g} {y:.10g}" for x, y in ring)
-        parts.append(f"(({pts}))")
-    return f"MULTIPOLYGON ({', '.join(parts)})"
+        return "(" + ", ".join(f"{x:.10g} {y:.10g}" for x, y in ring) + ")"
+
+    members = []
+    for shell, holes in multipolygon_parts(coords, ring_offsets):
+        members.append("(" + ", ".join(ring_txt(r) for r in [shell] + holes) + ")")
+    return f"MULTIPOLYGON ({', '.join(members)})"
 
 
 def wkb_write(kind: str, coords: np.ndarray, ring_offsets: np.ndarray) -> bytes:
@@ -695,11 +697,12 @@ def wkb_write(kind: str, coords: np.ndarray, ring_offsets: np.ndarray) -> bytes:
             out += ring_bytes(c[ring_offsets[r]:ring_offsets[r + 1]])
         return out
     if kind == "MULTIPOLYGON":
-        n = len(ring_offsets) - 1
-        out = b"\x01" + struct.pack("<II", 6, n)
-        for r in range(n):
-            ring = c[ring_offsets[r]:ring_offsets[r + 1]]
-            out += b"\x01" + struct.pack("<II", 3, 1) + ring_bytes(ring)
+        parts = multipolygon_parts(coords, ring_offsets)
+        out = b"\x01" + struct.pack("<II", 6, len(parts))
+        for shell, holes in parts:
+            out += b"\x01" + struct.pack("<II", 3, 1 + len(holes))
+            for r in [shell] + holes:
+                out += ring_bytes(c[ring_offsets[r]:ring_offsets[r + 1]])
         return out
     raise ValueError(f"unsupported WKB kind: {kind}")
 
@@ -825,3 +828,39 @@ def wkt_polygon_exact(coords: np.ndarray, ring_offsets: np.ndarray) -> str:
         pts = ", ".join(f"{x!r} {y!r}" for x, y in coords[s:e])
         rings.append(f"({pts})")
     return f"POLYGON ({', '.join(rings)})"
+
+
+def multipolygon_parts(coords: np.ndarray, ring_offsets: np.ndarray) -> list[tuple[int, list[int]]]:
+    """Group a flat ring list into member polygons [(shell_ring_idx,
+    [hole_ring_idx, ...])] by containment depth: a ring at even nesting
+    depth is a shell; an odd-depth ring is a hole of its deepest
+    container. Reconstructs OGC structure for serialization (the internal
+    parity representation is grouping-agnostic)."""
+    nrings = len(ring_offsets) - 1
+    rings = [coords[ring_offsets[r]:ring_offsets[r + 1]] for r in range(nrings)]
+    containers: list[list[int]] = [[] for _ in range(nrings)]
+    for i in range(nrings):
+        px, py = rings[i][0]
+        for j in range(nrings):
+            if i == j:
+                continue
+            if bool(points_in_polygon([px], [py], rings[j], np.asarray([0, len(rings[j])]))[0]):
+                containers[i].append(j)
+    depth = [len(c) for c in containers]
+    parts: list[tuple[int, list[int]]] = []
+    shell_part = {}
+    for i in range(nrings):
+        if depth[i] % 2 == 0:
+            shell_part[i] = len(parts)
+            parts.append((i, []))
+    for i in range(nrings):
+        if depth[i] % 2 == 1:
+            # deepest container at even depth = the owning shell
+            shell = max(
+                (j for j in containers[i] if depth[j] % 2 == 0),
+                key=lambda j: depth[j],
+                default=None,
+            )
+            if shell is not None:
+                parts[shell_part[shell]][1].append(i)
+    return parts

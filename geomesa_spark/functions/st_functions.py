@@ -304,7 +304,9 @@ def st_geometryType(wkt: pd.Series) -> pd.Series:
 @F.pandas_udf(IntegerType())
 def st_numGeometries(wkt: pd.Series) -> pd.Series:
     return _per_unique(
-        wkt, lambda k, c, o: (len(o) - 1) if k == "MULTIPOLYGON" else 1, "Int32"
+        wkt,
+        lambda k, c, o: len(geo.multipolygon_parts(c, o)) if k == "MULTIPOLYGON" else 1,
+        "Int32",
     )
 
 
@@ -325,10 +327,13 @@ def _pip_against(poly_wkt: pd.Series, lon: np.ndarray, lat: np.ndarray) -> np.nd
 
 
 def _containment_series(container: pd.Series, contained: pd.Series, pred) -> pd.Series:
-    """Vectorized PIP fast path when the contained side is POINT rows;
-    exact relate kernel for line/polygon operands."""
+    """Vectorized PIP fast path for POLYGON-contains-POINT rows; exact
+    relate kernel for every other kind pairing (the fast path must not
+    fire for LINESTRING/POINT containers — parity against a polyline is
+    meaningless)."""
     pts = contained.str.extract(_POINT_NUM, expand=True).astype(np.float64)
-    fast = ~pts.isna().any(axis=1)
+    poly_container = container.str.match(r"\s*(?:POLYGON|MULTIPOLYGON)\b", na=False)
+    fast = ~pts.isna().any(axis=1) & poly_container
     out = np.empty(len(container), dtype=object)
     if fast.any():
         m = fast.to_numpy()
@@ -610,16 +615,16 @@ def st_asGeoJSON(wkt: pd.Series) -> pd.Series:
 def _group_by_param(param: pd.Series, fn):
     """Run ``fn(mask, int_value)`` once per unique parameter value in the
     batch — supports non-constant precision/level/resolution columns
-    (each group is still a vectorized numpy call)."""
+    (each group is still a vectorized numpy call). Null parameter rows
+    yield null outputs instead of poisoning the batch."""
     vals = param.to_numpy()
-    out = None
-    for v in pd.unique(vals):
-        m = vals == v
+    valid = ~pd.isna(vals)
+    out = np.full(len(vals), None, dtype=object)
+    for v in pd.unique(vals[valid]):
+        m = valid & (vals == v)
         res = fn(m, int(v))
-        if out is None:
-            out = np.empty(len(vals), dtype=np.asarray(res).dtype if not isinstance(res, list) else object)
-        out[m] = res
-    return out if out is not None else np.empty(0)
+        out[m] = np.asarray(res, dtype=object)
+    return out
 
 
 @F.pandas_udf(StringType())

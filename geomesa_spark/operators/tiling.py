@@ -126,33 +126,13 @@ def make_chip(tx: int, ty: int, zoom: int) -> bytes:
     return grid.tobytes()
 
 
-def chips_pdf(zooms=(5, 7, 9), lon_range=(-30.0, 30.0), lat_range=(-20.0, 20.0)) -> pd.DataFrame:
-    """Fixture chips covering a lon/lat window at each pyramid zoom."""
-    rows = []
-    for z in zooms:
-        n = 1 << z
-        tx0 = int((lon_range[0] + 180.0) / 360.0 * n)
-        tx1 = int((lon_range[1] + 180.0) / 360.0 * n)
-        ty0 = int((90.0 - lat_range[1]) / 180.0 * n)
-        ty1 = int((90.0 - lat_range[0]) / 180.0 * n)
-        for ty in range(ty0, ty1 + 1):
-            for tx in range(tx0, tx1 + 1):
-                lo, la, hi, ha = tile_bounds(tx, ty, z)
-                rows.append(
-                    (int((ty << 32) | tx), z, tx, ty, lo, la, hi, ha, CHIP_W, CHIP_H, make_chip(tx, ty, z))
-                )
-    return pd.DataFrame(
-        rows,
-        columns=["tile_id", "zoom", "tile_x", "tile_y", "min_lon", "min_lat", "max_lon", "max_lat", "width", "height", "band"],
-    )
+_TILE_META_COLS = ["tile_id", "zoom", "tile_x", "tile_y", "min_lon", "min_lat", "max_lon", "max_lat", "width", "height"]
 
 
-def chips_df(spark, zooms=(5, 7, 9), lon_range=(-30.0, 30.0), lat_range=(-20.0, 20.0)) -> "DataFrame":
-    """Distributed chips table: tile COORDINATES enumerate on the driver
-    (cheap — ints + bounds), band BYTES synthesize executor-side via
-    mapInPandas. ``chips_pdf`` materializes every 16 KB band in driver
-    memory (~150 MB at zoom 9 over the default window) — this variant is
-    the ingest shape that scales to real chip archives."""
+def _enumerate_tiles(zooms, lon_range, lat_range) -> pd.DataFrame:
+    """Tile coordinate/bounds rows for a window at each zoom (the single
+    source of truth for tile_id packing and bounds — shared by the
+    driver-side and distributed chip builders)."""
     rows = []
     for z in zooms:
         n = 1 << z
@@ -164,12 +144,29 @@ def chips_df(spark, zooms=(5, 7, 9), lon_range=(-30.0, 30.0), lat_range=(-20.0, 
             for tx in range(tx0, tx1 + 1):
                 lo, la, hi, ha = tile_bounds(tx, ty, z)
                 rows.append((int((ty << 32) | tx), z, tx, ty, lo, la, hi, ha, CHIP_W, CHIP_H))
-    meta = spark.createDataFrame(
-        pd.DataFrame(
-            rows,
-            columns=["tile_id", "zoom", "tile_x", "tile_y", "min_lon", "min_lat", "max_lon", "max_lat", "width", "height"],
-        )
-    ).repartition(max(2, len(rows) // 2000))
+    return pd.DataFrame(rows, columns=_TILE_META_COLS)
+
+
+def chips_pdf(zooms=(5, 7, 9), lon_range=(-30.0, 30.0), lat_range=(-20.0, 20.0)) -> pd.DataFrame:
+    """Fixture chips covering a lon/lat window at each pyramid zoom
+    (driver-side band synthesis — small fixtures only; ``chips_df`` is
+    the distributed builder)."""
+    meta = _enumerate_tiles(zooms, lon_range, lat_range)
+    meta["band"] = [
+        make_chip(int(tx), int(ty), int(z))
+        for tx, ty, z in zip(meta["tile_x"], meta["tile_y"], meta["zoom"])
+    ]
+    return meta
+
+
+def chips_df(spark, zooms=(5, 7, 9), lon_range=(-30.0, 30.0), lat_range=(-20.0, 20.0)) -> "DataFrame":
+    """Distributed chips table: tile COORDINATES enumerate on the driver
+    (cheap — ints + bounds), band BYTES synthesize executor-side via
+    mapInPandas. ``chips_pdf`` materializes every 16 KB band in driver
+    memory (~150 MB at zoom 9 over the default window) — this variant is
+    the ingest shape that scales to real chip archives."""
+    meta_pdf = _enumerate_tiles(zooms, lon_range, lat_range)
+    meta = spark.createDataFrame(meta_pdf).repartition(max(2, len(meta_pdf) // 2000))
 
     def gen(batches):
         for pdf in batches:

@@ -229,24 +229,23 @@ def stateful_track_assembler(
             ts_ms.extend(int(v) // 1_000_000 for v in ts.astype("int64"))
         if not ts_ms:
             return
-        ts_ms.sort()
-        # sessionize this batch's fixes: gap-separated (start, last, n) runs
-        groups: list[list[int]] = []
-        for t in ts_ms:
-            if groups and t - groups[-1][1] <= gap_ms:
-                groups[-1][1] = t
-                groups[-1][2] += 1
-            else:
-                groups.append([t, t, 1])
-        # merge the carried-over open session: extend the first run if it
-        # continues it, otherwise the old session is complete — data for a
-        # NEW session can arrive before the old one's event-time timeout
+        # joint re-sessionization of (carried state interval + batch fixes):
+        # intervals sorted by start, sweep-merged when within gap on either
+        # side — an in-watermark LATE fix that precedes the open session by
+        # more than the gap forms its own (already-closed) session instead
+        # of being folded backward into the open one
+        intervals: list[list[int]] = [[t, t, 1] for t in sorted(ts_ms)]
         if state.exists:
             s0, s1, sn = state.get
-            if groups and groups[0][0] - s1 <= gap_ms:
-                groups[0] = [min(s0, groups[0][0]), max(s1, groups[0][1]), sn + groups[0][2]]
+            intervals.append([s0, s1, sn])
+            intervals.sort(key=lambda g: (g[0], g[1]))
+        groups: list[list[int]] = []
+        for iv in intervals:
+            if groups and iv[0] - groups[-1][1] <= gap_ms:
+                groups[-1][1] = max(groups[-1][1], iv[1])
+                groups[-1][2] += iv[2]
             else:
-                groups.insert(0, [s0, s1, sn])
+                groups.append(iv)
         for g in groups[:-1]:  # every run but the last is already closed
             yield row(*g)
         state.update(tuple(groups[-1]))

@@ -307,3 +307,32 @@ def test_geohash_constructors_roundtrip(registered):
     assert r["inside"] is True
     assert r["pt"] == "POINT (1 2)" and r["ln"].startswith("LINESTRING")
     assert r["not_poly"] is None
+
+
+def test_multipolygon_holes_preserved_and_fastpath_kinds(registered):
+    spark = registered
+    mp = ("MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 8 2, 8 8, 2 8, 2 2)), "
+          "((20 0, 25 0, 25 5, 20 5, 20 0)))")
+    r = spark.sql(f"""
+        select st_numGeometries('{mp}') ng,
+               st_asText(st_geomFromWKB(st_asBinary('{mp}'))) rt,
+               st_contains('{mp}', 'POINT (5 5)') in_hole,
+               st_contains('{mp}', 'POINT (1 1)') in_shell,
+               st_contains('LINESTRING (0 0, 2 2)', 'POINT (1 1)') line_pt,
+               st_contains('POINT (1 1)', 'POINT (1 1)') pt_pt,
+               st_within('POINT (1 1)', 'LINESTRING (0 0, 2 2)') pt_in_line
+    """).collect()[0]
+    assert r["ng"] == 2  # member polygons, not rings
+    assert r["rt"].count("((") == 2  # two members; hole grouped inside the first
+    assert r["in_hole"] is False and r["in_shell"] is True
+    # non-polygon containers route to the relate kernel, not the PIP fast path
+    assert r["line_pt"] is True and r["pt_pt"] is True and r["pt_in_line"] is True
+
+
+def test_cell_fn_null_params(registered):
+    spark = registered
+    out = spark.sql("""
+        select st_geoHash(2.351, 48.857, cast(null as int)) gh,
+               st_s2(2.351, 48.857, cast(null as int)) s2
+    """).collect()[0]
+    assert out["gh"] is None and out["s2"] is None

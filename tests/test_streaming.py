@@ -300,3 +300,31 @@ def test_streaming_pip_counts_matches_batch(spark, session_stream_dir, tmp_path)
     want_s = want.sort_values(key).reset_index(drop=True)
     assert got_s.equals(want_s)
     q.stop()
+
+
+def test_stateful_assembler_out_of_order_late_data(spark, tmp_path):
+    """A late (in-watermark) fix that precedes the open session by more
+    than the gap becomes its OWN closed session — it must not be folded
+    backward into the open session (round-2 review regression)."""
+    d = str(tmp_path / "ooo_stream")
+    os.makedirs(d)
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+
+    def mk(rows, name):
+        pd.DataFrame(rows, columns=["url", "warc_ts"]).to_parquet(
+            os.path.join(d, name), index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+
+    mk([("u0", t0)], "b0.parquet")                                   # open session at 10:00
+    mk([("u0", t0 - pd.Timedelta(hours=2))], "b1.parquet")           # LATE fix at 08:00
+    mk([("uz", t0 + pd.Timedelta(days=30))], "b2.parquet")           # advance watermark
+    stream = _session_stream(spark, d)
+    q = _run_stream(
+        live.stateful_track_assembler(stream, gap_sec=1800, watermark="6 hours"), "sess_ooo"
+    )
+    out = spark.sql("select * from sess_ooo where id = 'u0' order by session_start").toPandas()
+    assert len(out) == 2  # two distinct sessions, not one merged 08:00-10:00
+    assert list(out["n_fixes"]) == [1, 1]
+    assert out["session_start"].iloc[0] == t0 - pd.Timedelta(hours=2)
+    assert out["session_start"].iloc[1] == t0
+    q.stop()
