@@ -91,9 +91,27 @@ def completed_partitions(root: str, op: str) -> set[str]:
     return {k[len(prefix):] for k in snap["partitions"] if k.startswith(prefix)}
 
 
-def lineage(root: str) -> list[dict]:
-    """Flattened lineage rows: one per committed (op, partition)."""
-    snap = current_snapshot(root)
+def snapshots(root: str) -> list[dict]:
+    """All snapshots in the log, oldest first (the time-travel axis)."""
+    out = []
+    for p in sorted(glob.glob(os.path.join(_mdir(root), "snap-*.json"))):
+        with open(p) as f:
+            out.append(json.load(f))
+    return sorted(out, key=lambda s: s["snapshot_id"])
+
+
+def snapshot_by_id(root: str, snapshot_id: int) -> dict:
+    path = os.path.join(_mdir(root), f"snap-{snapshot_id:05d}.json")
+    if not os.path.exists(path):
+        raise ValueError(f"snapshot {snapshot_id} not found (expired or never committed)")
+    with open(path) as f:
+        return json.load(f)
+
+
+def lineage(root: str, snapshot: dict | None = None) -> list[dict]:
+    """Flattened lineage rows: one per committed (op, partition) — of the
+    CURRENT snapshot, or of an explicit (time-travel) snapshot."""
+    snap = snapshot if snapshot is not None else current_snapshot(root)
     if snap is None:
         return []
     out = []
@@ -196,12 +214,17 @@ def read_table(
     root: str,
     op: str,
     cell_range: tuple[int, int] | None = None,
+    as_of_snapshot: int | None = None,
 ) -> DataFrame:
     """Read committed partitions only (manifest-driven file pruning):
-    uncommitted/orphan files are invisible, and ``cell_range`` prunes whole
-    partitions via manifest cell min/max before parquet row-group pushdown."""
+    uncommitted/orphan files are invisible, ``cell_range`` prunes whole
+    partitions via manifest cell min/max before parquet row-group
+    pushdown, and ``as_of_snapshot`` time-travels to an earlier snapshot
+    (Iceberg ``VERSION AS OF`` semantics — old data files stay on disk
+    until ``expire_snapshots`` + ``remove_orphan_files``)."""
+    snap = snapshot_by_id(root, as_of_snapshot) if as_of_snapshot is not None else None
     paths = []
-    for entry in lineage(root):
+    for entry in lineage(root, snap):
         if entry["op"] != op:
             continue
         if cell_range is not None and "cell_min" in entry:
@@ -215,3 +238,78 @@ def read_table(
     if cell_range is not None and "cell" in df.columns:
         df = df.where(F.col("cell").between(*cell_range))
     return df
+
+
+# ---------------------------------------------------------------------------
+# table maintenance (Iceberg-style lifecycle)
+# ---------------------------------------------------------------------------
+
+
+def expire_snapshots(root: str, keep_last: int = 5) -> list[int]:
+    """Delete snapshot json files older than the newest ``keep_last``
+    (CURRENT is always retained). Returns expired snapshot ids. Data
+    files are NOT touched — run ``remove_orphan_files`` afterwards to
+    reclaim files no retained snapshot references."""
+    snaps = snapshots(root)
+    if len(snaps) <= keep_last:
+        return []
+    expired = []
+    for snap in snaps[:-keep_last]:
+        sid = snap["snapshot_id"]
+        os.remove(os.path.join(_mdir(root), f"snap-{sid:05d}.json"))
+        expired.append(sid)
+    return expired
+
+
+def remove_orphan_files(root: str, dry_run: bool = False) -> list[str]:
+    """Delete data files referenced by NO retained snapshot: crash
+    orphans (written but never committed) and files only reachable from
+    expired snapshots (e.g. pre-compaction originals). Returns the
+    removed (or would-remove) paths, repo-relative."""
+    referenced: set[str] = set()
+    for snap in snapshots(root):
+        for entry in snap["partitions"].values():
+            referenced.update(entry.get("files", []))
+    removed = []
+    for p in glob.glob(os.path.join(root, "data", "**", "*.parquet"), recursive=True):
+        rel = os.path.relpath(p, root)
+        if rel not in referenced:
+            removed.append(rel)
+            if not dry_run:
+                os.remove(p)
+    return sorted(removed)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    root: str,
+    op: str,
+    target_files: int = 1,
+) -> dict:
+    """Rewrite all of ``op``'s committed partitions into ``target_files``
+    files and commit the result as ONE replacement snapshot (Iceberg
+    rewrite_data_files): readers of the new snapshot see identical rows
+    from fewer files; time travel to pre-compaction snapshots keeps
+    working until they are expired and orphans removed."""
+    df = read_table(spark, root, op)
+    out_dir = os.path.join(root, "data", op, "part=compacted")
+    df.repartition(target_files).write.mode("overwrite").parquet(out_dir)
+    written = spark.read.parquet(out_dir)
+    rows = written.count()
+    files = sorted(
+        os.path.relpath(p, root) for p in glob.glob(os.path.join(out_dir, "*.parquet"))
+    )
+    prev = current_snapshot(root)
+    snap = {
+        "snapshot_id": prev["snapshot_id"] + 1,
+        "parent": prev["snapshot_id"],
+        "partitions": {
+            k: v for k, v in prev["partitions"].items() if not k.startswith(f"{op}/")
+        },
+    }
+    stats = {"files": files, "rows": rows, "input": f"compaction of {op}"}
+    if "cell" in written.columns:
+        stats.update({k: v for k, v in cell_stats(written).items() if k != "rows"})
+    snap["partitions"][f"{op}/compacted"] = stats
+    _write_snapshot(root, snap)
+    return snap

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -97,3 +99,55 @@ def test_uncommitted_invisible(spark, tmp_path):
     assert set(visible["pid"] // 500) == {0}
     with pytest.raises(ValueError):
         M.read_table(spark, root, "nope")
+
+
+def test_time_travel_expiry_compaction_orphans(spark, tmp_path):
+    """Iceberg-style lifecycle: VERSION-AS-OF reads, snapshot expiry,
+    compaction (row-identical, fewer files), orphan-file reclamation."""
+    import glob as _glob
+
+    root = str(tmp_path / "lifecycle_tbl")
+
+    def write_part(k, n):
+        out = os.path.join(root, "data", "ev", f"part={k}")
+        spark.range(k * 100, k * 100 + n).withColumnRenamed("id", "v").write.mode(
+            "overwrite"
+        ).parquet(out)
+        files = sorted(
+            os.path.relpath(p, root) for p in _glob.glob(os.path.join(out, "*.parquet"))
+        )
+        return M.commit_partition(root, "ev", str(k), {"files": files, "rows": n, "input": f"gen{k}"})
+
+    s0 = write_part(0, 10)
+    s1 = write_part(1, 20)
+    assert s1["snapshot_id"] == s0["snapshot_id"] + 1
+
+    # time travel: snapshot 0 sees only partition 0
+    now_rows = M.read_table(spark, root, "ev").count()
+    old_rows = M.read_table(spark, root, "ev", as_of_snapshot=s0["snapshot_id"]).count()
+    assert (now_rows, old_rows) == (30, 10)
+
+    # orphan: written but never committed -> invisible, then reclaimed
+    orphan_dir = os.path.join(root, "data", "ev", "part=orphan")
+    spark.range(5).write.parquet(orphan_dir)
+    assert M.read_table(spark, root, "ev").count() == 30
+    removed = M.remove_orphan_files(root, dry_run=True)
+    assert removed and all("part=orphan" in p for p in removed)
+
+    # compaction: same rows, one file, one replacement snapshot
+    snap_c = M.compact_partitions(spark, root, "ev", target_files=1)
+    after = M.read_table(spark, root, "ev")
+    assert after.count() == 30
+    assert len(after.inputFiles()) == 1
+    # pre-compaction time travel still works while snapshots retained
+    assert M.read_table(spark, root, "ev", as_of_snapshot=s1["snapshot_id"]).count() == 30
+
+    # expire everything but the compacted snapshot, then reclaim orphans:
+    # the pre-compaction originals + the uncommitted orphan disappear
+    expired = M.expire_snapshots(root, keep_last=1)
+    assert s0["snapshot_id"] in expired and s1["snapshot_id"] in expired
+    removed = M.remove_orphan_files(root)
+    assert any("part=0" in p for p in removed) and any("part=orphan" in p for p in removed)
+    assert M.read_table(spark, root, "ev").count() == 30  # current snapshot intact
+    with pytest.raises(ValueError):
+        M.read_table(spark, root, "ev", as_of_snapshot=s0["snapshot_id"])
