@@ -433,7 +433,8 @@ class Relate:
     """
 
     __slots__ = ("ii", "bb", "bb_dim1", "a_covers_b", "b_covers_a", "equal",
-                 "proper_cross", "any_contact", "dim_a", "dim_b")
+                 "proper_cross", "any_contact", "dim_a", "dim_b",
+                 "a_sample_in_b", "b_sample_in_a")
 
     def __init__(self, **kw):
         for s in self.__slots__:
@@ -512,6 +513,8 @@ def relate_geoms(ka, ca, oa, kb, cb, ob) -> Relate:
         # proper crossings are boundary∩boundary points too
         boundary_contact = proper or touch or (cls_a_in_b == 1).any() or (cls_b_in_a == 1).any()
         r.ii = bool(proper or a_sample_in or b_sample_in or r.equal)
+        r.a_sample_in_b = bool(a_sample_in)
+        r.b_sample_in_a = bool(b_sample_in)
         r.bb = bool(boundary_contact or r.equal)
         # `or r.equal`: identical geometries trivially cover each other —
         # decided from canonical coordinates, immune to the midpoint
@@ -630,15 +633,29 @@ def pred_crosses(r: Relate) -> bool:
 
 
 def de9im(r: Relate) -> str:
-    """Approximate DE-9IM matrix string derived from the classification
-    (dims are exact for the entry classes this engine distinguishes)."""
+    """DE-9IM matrix string. EXACT for polygon×polygon and point×point
+    (derived from the relate classification; verified against the
+    canonical JTS matrices in tests); best-effort dims for line combos."""
+    if r.dim_a == 2 and r.dim_b == 2:
+        ii = "2" if r.ii else "F"
+        ib = "1" if (r.b_sample_in_a or (r.proper_cross and not r.a_covers_b)) else "F"
+        ie = "F" if r.b_covers_a else "2"
+        bi = "1" if (r.a_sample_in_b or (r.proper_cross and not r.b_covers_a)) else "F"
+        bb = ("1" if r.bb_dim1 else "0") if r.bb else "F"
+        be = "F" if r.b_covers_a else "1"
+        ei = "F" if r.a_covers_b else "2"
+        eb = "F" if r.a_covers_b else "1"
+        return ii + ib + ie + bi + bb + be + ei + eb + "2"
+    if r.dim_a == 0 and r.dim_b == 0:
+        return "0FFFFFFF2" if r.ii else "FF0FFFFF2"
+    # mixed / line combos: dims approximated from the classification
     def d(flag, dim):
         return str(dim) if flag else "F"
 
     ii = d(r.ii, min(r.dim_a, r.dim_b))
-    ib = d(r.ii and not r.a_covers_b if r.dim_b > 0 else False, max(r.dim_b - 1, 0)) if r.dim_b > 0 else "F"
+    ib = d(r.ii and not r.a_covers_b and r.dim_b > 0, max(r.dim_b - 1, 0))
     ie = "F" if r.b_covers_a else str(r.dim_a)
-    bi = d(r.ii and not r.b_covers_a if r.dim_a > 0 else False, max(r.dim_a - 1, 0)) if r.dim_a > 0 else "F"
+    bi = d(r.ii and not r.b_covers_a and r.dim_a > 0, max(r.dim_a - 1, 0))
     bb = d(r.bb, 1 if r.bb_dim1 else 0)
     be = "F" if r.b_covers_a else (str(max(r.dim_a - 1, 0)) if r.dim_a > 0 else "F")
     ei = "F" if r.a_covers_b else str(r.dim_b)

@@ -336,3 +336,25 @@ def test_cell_fn_null_params(registered):
                st_s2(2.351, 48.857, cast(null as int)) s2
     """).collect()[0]
     assert out["gh"] is None and out["s2"] is None
+
+
+CANONICAL_DE9IM = [
+    # (a, b, expected JTS matrix)
+    (SQ, SQ_ROT, "2FFF1FFF2"),                 # equals
+    (SQ, SQ_INNER, "212FF1FF2"),               # contains
+    (SQ_INNER, SQ, "2FF1FF212"),               # within
+    (SQ, SQ_FAR, "FF2FF1212"),                 # disjoint
+    (SQ, SQ_SHIFT, "212101212"),               # overlaps
+    (SQ, SQ_EDGE, "FF2F11212"),                # edge touch (1-dim boundary)
+    (SQ, SQ_CORNER, "FF2F01212"),              # corner touch (0-dim boundary)
+    ("POINT (1 1)", "POINT (1 1)", "0FFFFFFF2"),
+    ("POINT (1 1)", "POINT (2 2)", "FF0FFFFF2"),
+]
+
+
+def test_de9im_canonical_matrices(registered):
+    spark = registered
+    pdf = pd.DataFrame(CANONICAL_DE9IM, columns=["a", "b", "want"])
+    got = spark.createDataFrame(pdf).selectExpr("want", "st_relate(a, b) got").collect()
+    for r in got:
+        assert r["got"] == r["want"], (r["want"], r["got"])
