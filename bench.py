@@ -160,12 +160,19 @@ def run(spark, sf_dir: str) -> dict:
     timings["pages_pipeline_runs"] = [round(r, 3) for r in runs]
     total += sum(runs)
 
+    # min of QUERY_REPEATS per query: hypervisor contention on this VM
+    # drifts wall time up to ~2x at different times of day (probed with a
+    # Spark-free numpy control); min = steady-state capability, matching
+    # the BENCH/BASELINE.md protocol for the pages pipeline
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPEATS", "2"))
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        runs_q = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            runs_q.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs_q), 3)
+        total += sum(runs_q)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     diff = bench_diff(timings)

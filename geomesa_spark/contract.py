@@ -1043,10 +1043,9 @@ def q_dedup_jaccard(spark, sf_dir):
     heavy words, so the exact path stays cheap and the oracle stays
     byte-identical without a cut here."""
     d = _load(spark, sf_dir, "documents")
-    words = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .where(F.col("w") != "")
-        .distinct()
+    words = d.select(
+        "doc_id",
+        F.explode(F.expr("array_distinct(filter(split(text, ' '), x -> x <> ''))")).alias("w"),
     )
     sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = words.alias("a")
@@ -1099,10 +1098,9 @@ def q_minhash_signatures(spark, sf_dir):
     the (doc_id, i, sig) shape — the word rows shuffle once at 1× volume
     instead of 16× through a coefficient cross-join."""
     d = _load(spark, sf_dir, "documents")
-    words = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .where(F.col("w") != "")
-        .distinct()
+    words = d.select(
+        "doc_id",
+        F.explode(F.expr("array_distinct(filter(split(text, ' '), x -> x <> ''))")).alias("w"),
     )
     wh = words.withColumn(
         "h", F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10).cast("long") % MINHASH_P
@@ -1344,19 +1342,19 @@ def q_ngram_minhash_dedup(spark, sf_dir):
     # int64 gram identity (md5 60-bit) — distinct/joins shuffle 8-byte
     # keys; persisted because the gram table feeds FOUR consumers
     # (signatures, sizes, and both sides of the intersection join)
+    # per-doc distinct grams computed ROW-LOCAL (array_distinct inside
+    # codegen) — only ~1/7 of the raw grams ever explode, and the
+    # (doc_id, g) distinct shuffle disappears entirely
+    gram_arr = (
+        "array_distinct(filter(transform(sequence(1, greatest(length(text), 1)), "
+        "i -> substring(text, i, 3)), x -> length(x) = 3))"
+    )
     grams = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.expr("transform(sequence(1, greatest(length(text), 1)), i -> substring(text, i, 3))")
-            ).alias("gs"),
-        )
-        .where(F.length("gs") == 3)
+        d.select("doc_id", F.explode(F.expr(gram_arr)).alias("gs"))
         .select(
             "doc_id",
             F.conv(F.substring(F.md5(F.col("gs").cast("binary")), 1, 15), 16, 10).cast("long").alias("g"),
         )
-        .distinct()
         .persist()
     )
     # bound the cache: a long-lived driver re-invoking this query must not
@@ -1399,19 +1397,19 @@ def q_ngram_minhash_dedup(spark, sf_dir):
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
     )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ga, gb = grams.alias("ga"), grams.alias("gb")
-    inter = (
-        cand.join(ga, F.col("da") == F.col("ga.doc_id"))
-        .join(gb, (F.col("db") == F.col("gb.doc_id")) & (F.col("gb.g") == F.col("ga.g")))
-        .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    # exact verify via per-doc gram-SET arrays + array_intersect (pure
+    # codegen): each candidate pair costs one in-memory set intersection
+    # instead of fanning out |grams_a| + |grams_b| join rows — at corpus
+    # scale the arrays join by doc id (bounded by the banding cap), no
+    # gram-level shuffle exists at all
+    gram_sets = grams.groupBy("doc_id").agg(F.collect_set("g").alias("gset"))
+    sa = gram_sets.select(F.col("doc_id").alias("da"), F.col("gset").alias("ga_set"))
+    sb = gram_sets.select(F.col("doc_id").alias("db"), F.col("gset").alias("gb_set"))
+    inter = F.size(F.array_intersect("ga_set", "gb_set"))
+    jac = inter.cast("double") / (F.size("ga_set") + F.size("gb_set") - inter)
     return (
-        inter.join(F.broadcast(sa), F.col("da") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("db") == F.col("sb.doc_id"))
+        cand.join(sa, "da")
+        .join(sb, "db")
         .withColumn("jac", jac)
         .where(F.col("jac") >= NGRAM_JACCARD_THRESHOLD)
         .select("da", "db", "jac")
@@ -1440,10 +1438,9 @@ def q_simhash_fingerprints(spark, sf_dir):
     in few bits (Hamming-distance dedup). Exact integer arithmetic; all
     16 bit-vote sums run as ONE wide aggregation (no 16× row explode)."""
     d = _load(spark, sf_dir, "documents")
-    words = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .where(F.col("w") != "")
-        .distinct()
+    words = d.select(
+        "doc_id",
+        F.explode(F.expr("array_distinct(filter(split(text, ' '), x -> x <> ''))")).alias("w"),
     )
     wh = words.withColumn(
         "h", F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10).cast("long") % MINHASH_P
@@ -1500,10 +1497,9 @@ def q_simhash_neardup_pairs(spark, sf_dir):
     shuffle, never an all-pairs product; the oracle is the brute-force
     twin (identical output by losslessness)."""
     d = _load(spark, sf_dir, "documents")
-    words = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .where(F.col("w") != "")
-        .distinct()
+    words = d.select(
+        "doc_id",
+        F.explode(F.expr("array_distinct(filter(split(text, ' '), x -> x <> ''))")).alias("w"),
     )
     wh = words.withColumn(
         "h", F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10).cast("long")
