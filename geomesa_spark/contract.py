@@ -1201,7 +1201,11 @@ def _relation_pair_fixture():
         w, h = (bx1 - bx0) or 1.0, (by1 - by0) or 1.0
         near = p.coords + np.array([0.37 * w, 0.23 * h])
         far = p.coords + np.array([3.1 * w, 2.7 * h])
-        for shifted in (near, far):
+        # shrunk toward the bbox center: usually contained (not always for
+        # concave shapes — irrelevant: the oracle recomputes the truth)
+        cx, cy = (bx0 + bx1) / 2.0, (by0 + by1) / 2.0
+        shrunk = np.array([cx, cy]) + 0.41 * (p.coords - np.array([cx, cy]))
+        for shifted in (near, far, shrunk):
             geoms[gid] = (shifted, p.ring_offsets)
             pairs.append((pair_id, ids[p.polygon_id], gid))
             pair_id += 1
@@ -1257,6 +1261,95 @@ def _relation_oracle_sql() -> str:
         "cast(case when pair_id in (select pair_id from xc) "
         "or pair_id in (select pair_id from vin) then 1 else 0 end as bigint) intersects "
         "from pairs order by pair_id"
+    )
+
+
+def _relation_prelude() -> tuple[str, str, str]:
+    """(edges/verts/pairs CTE text, proper-cross CTE, PIP condition) —
+    shared by the relation oracle queries."""
+    pairs, geoms = _relation_pair_fixture()
+    edge_rows, vert_rows = [], []
+    for g, (coords, offs) in geoms.items():
+        x1, y1, x2, y2 = (a.tolist() for a in geo.polygon_edges(coords, offs))
+        for a, b, c, d in zip(x1, y1, x2, y2):
+            edge_rows.append(f"({g},{_f(a)},{_f(b)},{_f(c)},{_f(d)})")
+        for vid, (x, y) in enumerate(coords[:-1]):
+            vert_rows.append(f"({g},{vid},{_f(float(x))},{_f(float(y))})")
+    pair_rows = ",".join(f"({pid},{a},{b})" for pid, a, b in pairs)
+    d1 = "(eb.x2-eb.x1)*(ea.y1-eb.y1)-(eb.y2-eb.y1)*(ea.x1-eb.x1)"
+    d2 = "(eb.x2-eb.x1)*(ea.y2-eb.y1)-(eb.y2-eb.y1)*(ea.x2-eb.x1)"
+    d3 = "(ea.x2-ea.x1)*(eb.y1-ea.y1)-(ea.y2-ea.y1)*(eb.x1-ea.x1)"
+    d4 = "(ea.x2-ea.x1)*(eb.y2-ea.y1)-(ea.y2-ea.y1)*(eb.x2-ea.x1)"
+    prelude = (
+        "edges as (select gid, cast(x1 as double) x1, cast(y1 as double) y1, "
+        "cast(x2 as double) x2, cast(y2 as double) y2 from (values "
+        + ",".join(edge_rows)
+        + ") v(gid, x1, y1, x2, y2)), "
+        "verts as (select gid, vid, cast(x as double) x, cast(y as double) y from (values "
+        + ",".join(vert_rows)
+        + ") v(gid, vid, x, y)), "
+        f"pairs as (select * from (values {pair_rows}) v(pair_id, a, b))"
+    )
+    xc = (
+        "xc as (select distinct p.pair_id from pairs p "
+        "join edges ea on ea.gid = p.a join edges eb on eb.gid = p.b "
+        f"where (({d1} > 0) <> ({d2} > 0)) and (({d3} > 0) <> ({d4} > 0)) "
+        f"and {d1} <> 0 and {d2} <> 0 and {d3} <> 0 and {d4} <> 0)"
+    )
+    pip = (
+        "((e.y1 > v.y) <> (e.y2 > v.y)) "
+        "and v.x < (e.x2 - e.x1) * (v.y - e.y1) / nullif(e.y2 - e.y1, 0.0) + e.x1"
+    )
+    return prelude, xc, pip
+
+
+def _relation_containment_sql() -> str:
+    """contains/within over the pair fixture: in general position,
+    contains(A,B) == (no transversal edge cross) AND (every vertex of B
+    has odd ray-crossing parity in A)."""
+    prelude, xc, pip = _relation_prelude()
+    return (
+        f"with {prelude}, {xc}, "
+        "vb_in_a as (select p.pair_id, v.vid from pairs p "
+        f"join verts v on v.gid = p.b join edges e on e.gid = p.a where {pip} "
+        "group by p.pair_id, v.vid having count(*) % 2 = 1), "
+        "va_in_b as (select p.pair_id, v.vid from pairs p "
+        f"join verts v on v.gid = p.a join edges e on e.gid = p.b where {pip} "
+        "group by p.pair_id, v.vid having count(*) % 2 = 1), "
+        "nb as (select p.pair_id, count(*) n from pairs p join verts v on v.gid = p.b group by p.pair_id), "
+        "na as (select p.pair_id, count(*) n from pairs p join verts v on v.gid = p.a group by p.pair_id), "
+        "cb as (select pair_id, count(*) n_in from vb_in_a group by pair_id), "
+        "ca as (select pair_id, count(*) n_in from va_in_b group by pair_id) "
+        "select cast(p.pair_id as bigint) pair_id, "
+        "cast(case when p.pair_id not in (select pair_id from xc) "
+        "and coalesce(cb.n_in, 0) = nb.n then 1 else 0 end as bigint) contains_ab, "
+        "cast(case when p.pair_id not in (select pair_id from xc) "
+        "and coalesce(ca.n_in, 0) = na.n then 1 else 0 end as bigint) within_ab "
+        "from pairs p join nb on nb.pair_id = p.pair_id join na on na.pair_id = p.pair_id "
+        "left join cb on cb.pair_id = p.pair_id left join ca on ca.pair_id = p.pair_id "
+        "order by p.pair_id"
+    )
+
+
+@_q("poly_pair_containment", _relation_containment_sql())
+def q_poly_pair_containment(spark, sf_dir):
+    """Exact polygon×polygon st_contains / st_within over the same
+    general-position pair fixture (shrunk copies exercise the positive
+    case) — kernel vs all-vertex-parity + no-cross SQL."""
+    from geomesa_spark.functions import st_functions as ST
+
+    pairs, geoms = _relation_pair_fixture()
+    wkts = {g: geo.wkt_polygon_exact(c, o) for g, (c, o) in geoms.items()}
+    pdf = pd.DataFrame(
+        [(pid, wkts[a], wkts[b]) for pid, a, b in pairs], columns=["pair_id", "a", "b"]
+    )
+    df = spark.createDataFrame(pdf)
+    return (
+        df.select(
+            F.col("pair_id").cast("long"),
+            ST.st_contains(F.col("a"), F.col("b")).cast("long").alias("contains_ab"),
+            ST.st_within(F.col("a"), F.col("b")).cast("long").alias("within_ab"),
+        ).orderBy("pair_id")
     )
 
 
