@@ -866,6 +866,38 @@ def q_pricing_summary(spark, sf_dir):
 
 
 @_q(
+    "pricing_rollup",
+    (
+        "select coalesce(l_returnflag, 'ALL') l_returnflag, "
+        "coalesce(l_linestatus, 'ALL') l_linestatus, "
+        "cast(count(*) as bigint) n, "
+        "cast(sum(cast(round(l_extendedprice * 100) as bigint)) as double) / 100.0 sum_price "
+        "from lineitem group by rollup(l_returnflag, l_linestatus) "
+        "order by l_returnflag, l_linestatus"
+    ),
+)
+def q_pricing_rollup(spark, sf_dir):
+    """Native ROLLUP grouping sets (SURVEY §2.5 cube/rollup): per
+    (flag, status), per flag, and grand-total rows in ONE pass —
+    map-side partials feed every grouping set without rescanning."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("double") / F.lit(100.0)).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+            "sum_price",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_q(
     "revenue_by_nation",
     (
         "select n.n_name, cast(count(*) as bigint) n_orders, "

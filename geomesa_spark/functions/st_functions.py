@@ -28,7 +28,7 @@ import json
 import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession, functions as F
-from pyspark.sql.types import BinaryType, BooleanType, DoubleType, IntegerType, LongType, StringType
+from pyspark.sql.types import ArrayType, BinaryType, BooleanType, DoubleType, IntegerType, LongType, StringType
 
 from geomesa_spark.functions import cells as C
 from geomesa_spark.functions import geometry as geo
@@ -665,7 +665,48 @@ def st_hexCell(lon: pd.Series, lat: pd.Series, res: pd.Series) -> pd.Series:
     return pd.Series(_group_by_param(res, lambda m, r: H.hex_encode(lon_v[m], lat_v[m], r)))
 
 
+@F.pandas_udf(BinaryType())
+def st_byteArray(txt: pd.Series) -> pd.Series:
+    """String → UTF-8 bytes (SQLGeometricCastFunctions st_byteArray)."""
+    return txt.map(lambda v: None if v is None else v.encode("utf-8"))
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def st_cellRing(cell: pd.Series, k: pd.Series) -> pd.Series:
+    """Grid cells at exactly ring distance k from each cell (the
+    GeoHashSpiral ring primitive as a SQL function)."""
+    out = []
+    for c, kk in zip(cell.to_numpy(), k.to_numpy()):
+        if pd.isna(c) or pd.isna(kk):
+            out.append(None)
+            continue
+        out.append([int(x) for x in C.grid_ring(int(c), int(kk), 8)])
+    return pd.Series(out)
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def st_coverPolygon(wkt: pd.Series, level: pd.Series) -> pd.Series:
+    """Exact cell cover of a polygon at a grid level (the XZ2-style
+    extents index as a SQL function; full-cell flags dropped)."""
+    from geomesa_spark.operators.spatial_join import cover_cells_one
+
+    cache = _parse_cache(wkt)
+    out = []
+    for w, lv in zip(wkt.to_numpy(object), level.to_numpy()):
+        g = cache.get(w)
+        if g is None or pd.isna(lv):
+            out.append(None)
+            continue
+        cells, _fulls = cover_cells_one(g[1], g[2], int(lv))
+        out.append(cells)
+    return pd.Series(out)
+
+
 ALL_FUNCTIONS = {
+    "st_makePoint": st_point,
+    "st_byteArray": st_byteArray,
+    "st_cellRing": st_cellRing,
+    "st_coverPolygon": st_coverPolygon,
     "st_point": st_point,
     "st_makeBBOX": st_makeBBOX,
     "st_geomFromWKT": st_geomFromWKT,

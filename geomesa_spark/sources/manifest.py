@@ -313,3 +313,26 @@ def compact_partitions(
     snap["partitions"][f"{op}/compacted"] = stats
     _write_snapshot(root, snap)
     return snap
+
+
+def create_table(root: str, name: str, schema: str, partition_spec: str = "") -> dict:
+    """Explicit catalog entry (~ DataStore.createSchema): records the
+    table's schema + partition spec in snapshot 0 so readers/ingesters
+    can validate against it. Partitions commit under op=``name``."""
+    meta = {"schema": schema, "partition_spec": partition_spec}
+    prev = current_snapshot(root)
+    snap = {
+        "snapshot_id": (prev["snapshot_id"] + 1) if prev else 0,
+        "parent": prev["snapshot_id"] if prev else None,
+        "partitions": dict(prev["partitions"]) if prev else {},
+        "tables": {**(prev.get("tables") or {}), name: meta} if prev else {name: meta},
+    }
+    _write_snapshot(root, snap)
+    return snap
+
+
+def table_schema(root: str, name: str) -> dict | None:
+    snap = current_snapshot(root)
+    if snap is None:
+        return None
+    return (snap.get("tables") or {}).get(name)

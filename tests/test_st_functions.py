@@ -358,3 +358,24 @@ def test_de9im_canonical_matrices(registered):
     got = spark.createDataFrame(pdf).selectExpr("want", "st_relate(a, b) got").collect()
     for r in got:
         assert r["got"] == r["want"], (r["want"], r["got"])
+
+
+def test_cell_ring_cover_and_aliases(registered):
+    spark = registered
+    r = spark.sql(f"""
+        select st_makePoint(1.0d, 2.0d) mp,
+               st_byteArray('abc') ba,
+               size(st_cellRing(16512, 1)) ring_n,
+               st_coverPolygon('{SQ}', 8) cover
+    """).collect()[0]
+    assert r["mp"] == "POINT (1.0 2.0)"
+    assert bytes(r["ba"]) == b"abc"
+    assert r["ring_n"] == 8  # interior cell ring-1 has 8 neighbors
+    assert len(r["cover"]) >= 1
+    # cover matches the operator-side cover for the same polygon
+    from geomesa_spark.functions import geometry as geo_l
+    from geomesa_spark.operators.spatial_join import cover_cells_one
+
+    k, c, o = geo_l.parse_wkt(SQ)
+    want, _ = cover_cells_one(c, o, 8)
+    assert sorted(r["cover"]) == sorted(want)
