@@ -151,3 +151,15 @@ def test_time_travel_expiry_compaction_orphans(spark, tmp_path):
     assert M.read_table(spark, root, "ev").count() == 30  # current snapshot intact
     with pytest.raises(ValueError):
         M.read_table(spark, root, "ev", as_of_snapshot=s0["snapshot_id"])
+
+
+def test_create_table_records_schema(tmp_path):
+    root = str(tmp_path / "cat_tbl")
+    M.create_table(root, "events", "pid long, lon double, lat double", "cell bucket(32)")
+    meta = M.table_schema(root, "events")
+    assert meta["schema"].startswith("pid long")
+    assert meta["partition_spec"] == "cell bucket(32)"
+    # creating another table preserves the first
+    M.create_table(root, "docs", "doc_id long, text string")
+    assert M.table_schema(root, "events") is not None
+    assert M.table_schema(root, "docs")["partition_spec"] == ""
