@@ -672,15 +672,16 @@ def st_byteArray(txt: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(ArrayType(LongType()))
-def st_cellRing(cell: pd.Series, k: pd.Series) -> pd.Series:
-    """Grid cells at exactly ring distance k from each cell (the
-    GeoHashSpiral ring primitive as a SQL function)."""
+def st_cellRing(cell: pd.Series, k: pd.Series, level: pd.Series) -> pd.Series:
+    """Grid cells at exactly ring distance k from each cell at the given
+    grid level (the GeoHashSpiral ring primitive as a SQL function —
+    plain grid ids don't encode their level, so it is explicit)."""
     out = []
-    for c, kk in zip(cell.to_numpy(), k.to_numpy()):
-        if pd.isna(c) or pd.isna(kk):
+    for c, kk, lv in zip(cell.to_numpy(), k.to_numpy(), level.to_numpy()):
+        if pd.isna(c) or pd.isna(kk) or pd.isna(lv):
             out.append(None)
             continue
-        out.append([int(x) for x in C.grid_ring(int(c), int(kk), 8)])
+        out.append([int(x) for x in C.grid_ring(int(c), int(kk), int(lv))])
     return pd.Series(out)
 
 

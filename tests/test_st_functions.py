@@ -365,7 +365,7 @@ def test_cell_ring_cover_and_aliases(registered):
     r = spark.sql(f"""
         select st_makePoint(1.0d, 2.0d) mp,
                st_byteArray('abc') ba,
-               size(st_cellRing(16512, 1)) ring_n,
+               size(st_cellRing(16512, 1, 8)) ring_n,
                st_coverPolygon('{SQ}', 8) cover
     """).collect()[0]
     assert r["mp"] == "POINT (1.0 2.0)"
