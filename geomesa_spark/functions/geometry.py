@@ -444,6 +444,18 @@ class Relate:
 _DIM = {"POINT": 0, "LINESTRING": 1, "POLYGON": 2, "MULTIPOLYGON": 2}
 
 
+def _hole_probes(coords, ring_offsets):
+    """One interior probe point per hole ring (the ring's centroid when it
+    actually lies inside that ring; otherwise skipped — conservative)."""
+    probes = []
+    for ridx in range(1, len(ring_offsets) - 1):
+        ring = coords[ring_offsets[ridx]:ring_offsets[ridx + 1]]
+        cx, cy = polygon_centroid(ring, np.asarray([0, len(ring)]))
+        if bool(points_in_polygon([cx], [cy], ring, np.asarray([0, len(ring)]))[0]):
+            probes.append((cx, cy))
+    return probes
+
+
 def relate_geoms(ka, ca, oa, kb, cb, ob) -> Relate:
     """Exact relate for POINT / LINESTRING / POLYGON(/MULTIPOLYGON as
     multi-ring parity) pairs. Containment uses: no transversal crossing
@@ -521,6 +533,26 @@ def relate_geoms(ka, ca, oa, kb, cb, ob) -> Relate:
         # rounding that can misclassify boundary samples on thin shapes
         r.a_covers_b = bool((not proper and (cls_b_in_a > 0).all()) or r.equal)
         r.b_covers_a = bool((not proper and (cls_a_in_b > 0).all()) or r.equal)
+        # hole correction: boundary samples can't witness "the other
+        # polygon fills my hole" — probe each hole's interior point: if it
+        # lies strictly inside the contained candidate, that candidate has
+        # interior outside the cover's closure and is NOT covered.
+        if r.a_covers_b and not r.equal:
+            for px, py in _hole_probes(ca, oa):
+                if (
+                    classify_points_in_polygon([px], [py], ca, oa)[0] == 0
+                    and classify_points_in_polygon([px], [py], cb, ob)[0] == 2
+                ):
+                    r.a_covers_b = False
+                    break
+        if r.b_covers_a and not r.equal:
+            for px, py in _hole_probes(cb, ob):
+                if (
+                    classify_points_in_polygon([px], [py], cb, ob)[0] == 0
+                    and classify_points_in_polygon([px], [py], ca, oa)[0] == 2
+                ):
+                    r.b_covers_a = False
+                    break
         r.any_contact = bool(r.ii or r.bb)
         return r
 
@@ -857,11 +889,16 @@ def multipolygon_parts(coords: np.ndarray, ring_offsets: np.ndarray) -> list[tup
     rings = [coords[ring_offsets[r]:ring_offsets[r + 1]] for r in range(nrings)]
     containers: list[list[int]] = [[] for _ in range(nrings)]
     for i in range(nrings):
-        px, py = rings[i][0]
+        # majority vote over the ring's vertices (strict-in vs strict-out;
+        # boundary votes abstain) — robust when a hole touches its shell
+        # at some vertex, where single-point parity is arbitrary
+        px, py = rings[i][:-1, 0], rings[i][:-1, 1]
         for j in range(nrings):
             if i == j:
                 continue
-            if bool(points_in_polygon([px], [py], rings[j], np.asarray([0, len(rings[j])]))[0]):
+            off_j = np.asarray([0, len(rings[j])])
+            cls = classify_points_in_polygon(px, py, rings[j], off_j)
+            if (cls == 2).sum() > (cls == 0).sum():
                 containers[i].append(j)
     depth = [len(c) for c in containers]
     parts: list[tuple[int, list[int]]] = []

@@ -692,14 +692,17 @@ def st_coverPolygon(wkt: pd.Series, level: pd.Series) -> pd.Series:
     from geomesa_spark.operators.spatial_join import cover_cells_one
 
     cache = _parse_cache(wkt)
+    memo: dict[tuple, list] = {}  # covers once per unique (wkt, level)
     out = []
     for w, lv in zip(wkt.to_numpy(object), level.to_numpy()):
         g = cache.get(w)
         if g is None or pd.isna(lv):
             out.append(None)
             continue
-        cells, _fulls = cover_cells_one(g[1], g[2], int(lv))
-        out.append(cells)
+        key = (w, int(lv))
+        if key not in memo:
+            memo[key] = cover_cells_one(g[1], g[2], int(lv))[0]
+        out.append(memo[key])
     return pd.Series(out)
 
 

@@ -35,9 +35,6 @@ from geomesa_spark.operators.spatial_join import haversine_expr, with_grid_cell
 
 M_PER_DEG = 111_194.93  # pi * R_mean / 180
 
-_KNN_BEST_CACHE: list = []  # latest persisted top-k table (bounded leak:
-                            # re-invocations unpersist the previous one)
-
 
 def _cell_min_dist(qlon: float, qlat: float, cell_ids: np.ndarray, level: int, metric: str) -> np.ndarray:
     """Lower bound of distance from (qlon, qlat) to each cell's box."""
@@ -172,19 +169,18 @@ def knn_join(
     pts.unpersist()
     if best is None:
         return spark.createDataFrame(pd.DataFrame(columns=["qid", "pid", "dist", "rnk"]))
-    # the result depends on the persisted `best`; keep only the LATEST
-    # invocation's cache alive so long-lived drivers don't accumulate one
-    # persisted dataset per call
-    while _KNN_BEST_CACHE:
-        try:
-            _KNN_BEST_CACHE.pop().unpersist()
-        except Exception:
-            pass
-    _KNN_BEST_CACHE.append(best)
-    return (
+    # materialize the small final top-k via localCheckpoint (truncates the
+    # multi-round iterative lineage; blocks are reclaimed by the context
+    # cleaner when the result is garbage-collected), then release the
+    # iteration cache immediately — no cross-invocation bookkeeping and no
+    # stale-unpersist recompute of a previously returned result
+    out = (
         best.withColumn("rnk", F.row_number().over(w))
         .select("qid", "pid", "dist", "rnk")
+        .localCheckpoint(eager=True)
     )
+    best.unpersist()
+    return out
 
 
 def knn_join_crossjoin(

@@ -78,6 +78,8 @@ def commit_partition(root: str, op: str, partition: str, entry: dict) -> dict:
         "parent": prev["snapshot_id"] if prev else None,
         "partitions": dict(prev["partitions"]) if prev else {},
     }
+    if prev and prev.get("tables"):
+        snap["tables"] = prev["tables"]  # catalog entries survive commits
     snap["partitions"][f"{op}/{partition}"] = entry
     _write_snapshot(root, snap)
     return snap
@@ -88,7 +90,13 @@ def completed_partitions(root: str, op: str) -> set[str]:
     if snap is None:
         return set()
     prefix = f"{op}/"
-    return {k[len(prefix):] for k in snap["partitions"] if k.startswith(prefix)}
+    out = set()
+    for k, entry in snap["partitions"].items():
+        if not k.startswith(prefix):
+            continue
+        out.add(k[len(prefix):])
+        out.update(entry.get("replaces", []))  # compaction subsumed these
+    return out
 
 
 def snapshots(root: str) -> list[dict]:
@@ -291,26 +299,44 @@ def compact_partitions(
     rewrite_data_files): readers of the new snapshot see identical rows
     from fewer files; time travel to pre-compaction snapshots keeps
     working until they are expired and orphans removed."""
+    prev = current_snapshot(root)
     df = read_table(spark, root, op)
-    out_dir = os.path.join(root, "data", op, "part=compacted")
+    # versioned output dir: re-compaction must NEVER overwrite files the
+    # current snapshot (and the lazy read above) still reference
+    tag = f"compacted-{prev['snapshot_id'] + 1}"
+    out_dir = os.path.join(root, "data", op, f"part={tag}")
     df.repartition(target_files).write.mode("overwrite").parquet(out_dir)
     written = spark.read.parquet(out_dir)
     rows = written.count()
     files = sorted(
         os.path.relpath(p, root) for p in glob.glob(os.path.join(out_dir, "*.parquet"))
     )
-    prev = current_snapshot(root)
+    # resume safety: the replacement entry remembers the partition keys it
+    # subsumes so completed_partitions still reports them after compaction
+    prefix = f"{op}/"
+    replaced = sorted(
+        {k[len(prefix):] for k in prev["partitions"] if k.startswith(prefix)}
+        | set().union(*(set(v.get("replaces", [])) for k, v in prev["partitions"].items()
+                        if k.startswith(prefix)), set())
+    )
     snap = {
         "snapshot_id": prev["snapshot_id"] + 1,
         "parent": prev["snapshot_id"],
         "partitions": {
-            k: v for k, v in prev["partitions"].items() if not k.startswith(f"{op}/")
+            k: v for k, v in prev["partitions"].items() if not k.startswith(prefix)
         },
     }
-    stats = {"files": files, "rows": rows, "input": f"compaction of {op}"}
+    if prev.get("tables"):
+        snap["tables"] = prev["tables"]
+    stats = {
+        "files": files,
+        "rows": rows,
+        "input": f"compaction of {op}",
+        "replaces": replaced,
+    }
     if "cell" in written.columns:
         stats.update({k: v for k, v in cell_stats(written).items() if k != "rows"})
-    snap["partitions"][f"{op}/compacted"] = stats
+    snap["partitions"][f"{op}/{tag}"] = stats
     _write_snapshot(root, snap)
     return snap
 

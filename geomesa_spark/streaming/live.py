@@ -183,7 +183,7 @@ def track_sessions(
 
 
 SESSION_OUTPUT_SCHEMA = "id string, session_start timestamp, last_ts timestamp, n_fixes long"
-SESSION_STATE_SCHEMA = "start_ms long, last_ms long, n long"
+SESSION_STATE_SCHEMA = "starts array<long>, lasts array<long>, ns array<long>"
 
 
 def stateful_track_assembler(
@@ -208,6 +208,14 @@ def stateful_track_assembler(
     gap_ms = gap_sec * 1000
 
     def assemble(key, pdfs, state: GroupState):
+        """Watermark-buffered session state machine: ALL open sessions
+        stay in state (arrays of intervals) and a session is emitted only
+        once the event-time watermark passes its last fix + gap — at that
+        point no admissible late fix can extend or split it, so output
+        matches the declarative session_window twin even for late data
+        arriving many micro-batches later."""
+        wm = state.getCurrentWatermarkMs()
+
         def row(start_ms, last_ms, n):
             return pd.DataFrame(
                 {
@@ -218,27 +226,19 @@ def stateful_track_assembler(
                 }
             )
 
-        if state.hasTimedOut:
-            start_ms, last_ms, n = state.get
-            state.remove()
-            yield row(start_ms, last_ms, n)
-            return
-        ts_ms: list[int] = []
-        for pdf in pdfs:
-            ts = pd.to_datetime(pdf[ts_col])
-            ts_ms.extend(int(v) // 1_000_000 for v in ts.astype("int64"))
-        if not ts_ms:
-            return
-        # joint re-sessionization of (carried state interval + batch fixes):
-        # intervals sorted by start, sweep-merged when within gap on either
-        # side — an in-watermark LATE fix that precedes the open session by
-        # more than the gap forms its own (already-closed) session instead
-        # of being folded backward into the open one
-        intervals: list[list[int]] = [[t, t, 1] for t in sorted(ts_ms)]
+        intervals: list[list[int]] = []
         if state.exists:
-            s0, s1, sn = state.get
-            intervals.append([s0, s1, sn])
-            intervals.sort(key=lambda g: (g[0], g[1]))
+            s_starts, s_lasts, s_ns = state.get
+            intervals = [[int(a), int(b), int(c)] for a, b, c in zip(s_starts, s_lasts, s_ns)]
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts = pd.to_datetime(pdf[ts_col])
+                intervals.extend([int(v) // 1_000_000, int(v) // 1_000_000, 1] for v in ts.astype("int64"))
+        if not intervals:
+            if state.exists:
+                state.remove()
+            return
+        intervals.sort(key=lambda g: (g[0], g[1]))
         groups: list[list[int]] = []
         for iv in intervals:
             if groups and iv[0] - groups[-1][1] <= gap_ms:
@@ -246,10 +246,22 @@ def stateful_track_assembler(
                 groups[-1][2] += iv[2]
             else:
                 groups.append(iv)
-        for g in groups[:-1]:  # every run but the last is already closed
-            yield row(*g)
-        state.update(tuple(groups[-1]))
-        state.setTimeoutTimestamp(groups[-1][1] + gap_ms)
+        open_groups: list[list[int]] = []
+        for g in groups:
+            if g[1] + gap_ms <= wm:  # finalized: nothing admissible can touch it
+                yield row(*g)
+            else:
+                open_groups.append(g)
+        if open_groups:
+            state.update((
+                [g[0] for g in open_groups],
+                [g[1] for g in open_groups],
+                [g[2] for g in open_groups],
+            ))
+            # wake when the earliest open session becomes finalizable
+            state.setTimeoutTimestamp(max(min(g[1] for g in open_groups) + gap_ms, wm + 1))
+        else:
+            state.remove()
 
     return (
         stream.withWatermark(ts_col, watermark)

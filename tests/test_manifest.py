@@ -163,3 +163,35 @@ def test_create_table_records_schema(tmp_path):
     M.create_table(root, "docs", "doc_id long, text string")
     assert M.table_schema(root, "events") is not None
     assert M.table_schema(root, "docs")["partition_spec"] == ""
+
+
+def test_compaction_is_safe_to_repeat_and_preserves_resume_and_catalog(spark, tmp_path):
+    """Round-2 review regressions: (a) re-compaction must not overwrite
+    files the current snapshot references; (b) the catalog survives
+    commits; (c) completed_partitions still reports partitions subsumed
+    by compaction (exactly-once resume)."""
+    import glob as _glob
+
+    root = str(tmp_path / "compact2_tbl")
+    M.create_table(root, "ev", "v long")
+
+    def write_part(k, n):
+        out = os.path.join(root, "data", "ev", f"part={k}")
+        spark.range(k * 100, k * 100 + n).withColumnRenamed("id", "v").write.mode("overwrite").parquet(out)
+        files = sorted(os.path.relpath(p, root) for p in _glob.glob(os.path.join(out, "*.parquet")))
+        M.commit_partition(root, "ev", str(k), {"files": files, "rows": n, "input": f"g{k}"})
+
+    write_part(0, 10)
+    write_part(1, 5)
+    # catalog survived the commits
+    assert M.table_schema(root, "ev")["schema"] == "v long"
+
+    M.compact_partitions(spark, root, "ev", target_files=1)
+    assert M.read_table(spark, root, "ev").count() == 15
+    # resume still sees the original partition keys
+    assert {"0", "1"} <= M.completed_partitions(root, "ev")
+    # second compaction: distinct output dir, table still readable
+    M.compact_partitions(spark, root, "ev", target_files=1)
+    assert M.read_table(spark, root, "ev").count() == 15
+    assert {"0", "1"} <= M.completed_partitions(root, "ev")
+    assert M.table_schema(root, "ev") is not None

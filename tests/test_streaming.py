@@ -328,3 +328,31 @@ def test_stateful_assembler_out_of_order_late_data(spark, tmp_path):
     assert out["session_start"].iloc[0] == t0 - pd.Timedelta(hours=2)
     assert out["session_start"].iloc[1] == t0
     q.stop()
+
+
+def test_stateful_assembler_cross_batch_late_merge(spark, tmp_path):
+    """A late fix arriving two micro-batches after its session opened must
+    MERGE into that session (watermark-buffered emission), matching
+    session_window: nothing is emitted until the watermark finalizes it."""
+    d = str(tmp_path / "late_merge_stream")
+    os.makedirs(d)
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+
+    def mk(rows, name):
+        pd.DataFrame(rows, columns=["url", "warc_ts"]).to_parquet(
+            os.path.join(d, name), index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+
+    mk([("u0", t0)], "b0.parquet")                                    # opens session at 10:00
+    mk([("u0", t0 + pd.Timedelta(hours=2))], "b1.parquet")            # second session at 12:00
+    mk([("u0", t0 + pd.Timedelta(minutes=10))], "b2.parquet")         # LATE fix 10:10 (in watermark)
+    mk([("uz", t0 + pd.Timedelta(days=30))], "b3.parquet")            # advance watermark
+    stream = _session_stream(spark, d)
+    q = _run_stream(
+        live.stateful_track_assembler(stream, gap_sec=1800, watermark="6 hours"), "sess_latemerge"
+    )
+    out = spark.sql("select * from sess_latemerge where id = 'u0' order by session_start").toPandas()
+    assert len(out) == 2
+    assert list(out["n_fixes"]) == [2, 1]  # 10:00+10:10 merged; 12:00 alone
+    assert out["last_ts"].iloc[0] == t0 + pd.Timedelta(minutes=10)
+    q.stop()
