@@ -158,30 +158,49 @@ def run(spark, sf_dir: str) -> dict:
     pages_sec = min(runs)
     timings["pages_pipeline"] = round(pages_sec, 3)
     timings["pages_pipeline_runs"] = [round(r, 3) for r in runs]
-    total += sum(runs)
+    total += pages_sec
 
     # min of QUERY_REPEATS per query: hypervisor contention on this VM
     # drifts wall time up to ~2x at different times of day (probed with a
     # Spark-free numpy control); min = steady-state capability, matching
-    # the BENCH/BASELINE.md protocol for the pages pipeline
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPEATS", "2"))
+    # the BENCH/BASELINE.md protocol for the pages pipeline. Per-query
+    # clearCache isolates queries from each other's cached blocks, and the
+    # full per-run list + spread is persisted so a one-off hypervisor stall
+    # is visible as spread, not misread as a code regression.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPEATS", "3"))
+    run_detail: dict[str, dict] = {}
     for name in BENCH_QUERIES:
+        spark.catalog.clearCache()
         runs_q = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()
             runs_q.append(time.perf_counter() - t0)
         timings[name] = round(min(runs_q), 3)
-        total += sum(runs_q)
+        run_detail[name] = {
+            "runs": [round(r, 3) for r in runs_q],
+            "spread_pct": round((max(runs_q) - min(runs_q)) / min(runs_q) * 100.0, 1),
+        }
+        # headline accumulates min (not sum of repeats) so the suite wall
+        # number stays comparable to single-repeat prior rounds
+        total += min(runs_q)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     diff = bench_diff(timings)
+    flagged = sorted(
+        name
+        for name, pct in ((diff or {}).get("delta_pct") or {}).items()
+        if isinstance(pct, (int, float)) and pct > 50.0
+    )
+    if flagged and diff is not None:
+        diff["regression_flags"] = flagged  # >1.5x round-over-round: investigate before trusting
     return {
         **({"diff_vs_prev": diff} if diff else {}),
         "metric": "headline suite wall time (pages pipeline + operator queries)",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "query_runs": run_detail,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "pages_per_sec": round(N_PAGES / pages_sec, 1),
         "n_pages": N_PAGES,

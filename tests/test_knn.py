@@ -111,3 +111,39 @@ def test_knn_join_large_query_set_stays_distributed(spark):
         .reset_index(drop=True)
     )
     assert got[["qid", "pid", "rnk"]].values.tolist() == twin[["qid", "pid", "rnk"]].values.tolist()
+
+
+def test_knn_ten_thousand_queries_executor_side(spark):
+    """Round-3 criterion: 10^4 query points flow through as a Spark
+    DataFrame — the driver never materializes candidate-cell (or even
+    query) pandas frames; ring explosion and termination both run in
+    mapInPandas. Verified against the exhaustive oracle on a sample of
+    query ids (full brute check at this size is the crossjoin twin's job
+    at smaller n)."""
+    n_pts, n_q = 30_000, 10_000
+    ids = np.arange(n_pts, dtype=np.uint64)
+    lon = -30.0 + (synth.hash64(ids).astype(np.float64) / 2.0**64) * 60.0
+    lat = -25.0 + (synth.hash64(ids + np.uint64(7)).astype(np.float64) / 2.0**64) * 50.0
+    points = pd.DataFrame({"pid": ids.astype(np.int64), "lon": lon, "lat": lat})
+    qi = np.arange(n_q, dtype=np.uint64)
+    queries = pd.DataFrame(
+        {
+            "qid": qi.astype(np.int64),
+            "lon": -28.0 + (synth.hash64(qi + np.uint64(3)).astype(np.float64) / 2.0**64) * 56.0,
+            "lat": -23.0 + (synth.hash64(qi + np.uint64(4)).astype(np.float64) / 2.0**64) * 46.0,
+        }
+    )
+    df = spark.createDataFrame(points).repartition(8)
+    qdf = spark.createDataFrame(queries).repartition(8)  # Spark-side query set
+    got = (
+        knn_mod.knn_join(df, qdf, 3, metric="planar")
+        .toPandas()
+        .sort_values(["qid", "rnk"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == n_q * 3
+    sample_qids = queries["qid"].to_numpy()[::97]  # ~100 spot checks
+    want = brute_knn(points, queries[queries["qid"].isin(sample_qids)], 3, metric="planar")
+    sub = got[got["qid"].isin(sample_qids)].reset_index(drop=True)
+    assert sub[["qid", "pid", "rnk"]].values.tolist() == want[["qid", "pid", "rnk"]].values.tolist()
+    assert np.allclose(sub["dist"], want["dist"], rtol=1e-9)
