@@ -38,6 +38,79 @@ def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
     return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
 
 
+WGS84_A = 6_378_137.0  # semi-major axis (m)
+WGS84_F = 1.0 / 298.257223563  # flattening
+WGS84_B = WGS84_A * (1.0 - WGS84_F)
+
+
+def vincenty_m(lon1, lat1, lon2, lat2, max_iter: int = 200, tol: float = 1e-12) -> np.ndarray:
+    """Ellipsoidal (WGS84) geodesic distance in meters — Vincenty's inverse
+    formula (published 1975 survey-review algorithm), vectorized numpy.
+    The reference's st_distanceSpheroid semantics; accurate to ~0.5 mm on
+    convergent pairs. Nearly-antipodal pairs that fail to converge return
+    the last iterate (documented Vincenty limitation, error < 0.2%)."""
+    lon1, lat1, lon2, lat2 = (np.atleast_1d(np.asarray(v, dtype=np.float64)) for v in (lon1, lat1, lon2, lat2))
+    lon1, lat1, lon2, lat2 = np.broadcast_arrays(lon1, lat1, lon2, lat2)
+    a, f, b = WGS84_A, WGS84_F, WGS84_B
+    U1 = np.arctan((1 - f) * np.tan(np.radians(lat1)))
+    U2 = np.arctan((1 - f) * np.tan(np.radians(lat2)))
+    L = np.radians(lon2 - lon1)
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    sinU2, cosU2 = np.sin(U2), np.cos(U2)
+    lam = L.copy()
+    sin_sig = np.zeros_like(lam)
+    cos_sig = np.ones_like(lam)
+    sigma = np.zeros_like(lam)
+    cos2_alpha = np.ones_like(lam)
+    cos_2sigm = np.ones_like(lam)
+    active = np.ones(lam.shape, dtype=bool)
+    for _ in range(max_iter):
+        sin_lam, cos_lam = np.sin(lam), np.cos(lam)
+        t1 = cosU2 * sin_lam
+        t2 = cosU1 * sinU2 - sinU1 * cosU2 * cos_lam
+        sin_sig_n = np.sqrt(t1 * t1 + t2 * t2)
+        cos_sig_n = sinU1 * sinU2 + cosU1 * cosU2 * cos_lam
+        sigma_n = np.arctan2(sin_sig_n, cos_sig_n)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sin_alpha = np.where(sin_sig_n != 0, cosU1 * cosU2 * sin_lam / np.where(sin_sig_n == 0, 1.0, sin_sig_n), 0.0)
+        cos2_alpha_n = 1.0 - sin_alpha * sin_alpha
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos_2sigm_n = np.where(
+                cos2_alpha_n != 0,
+                cos_sig_n - 2.0 * sinU1 * sinU2 / np.where(cos2_alpha_n == 0, 1.0, cos2_alpha_n),
+                0.0,  # equatorial geodesic
+            )
+        C = f / 16.0 * cos2_alpha_n * (4.0 + f * (4.0 - 3.0 * cos2_alpha_n))
+        lam_new = L + (1.0 - C) * f * sin_alpha * (
+            sigma_n + C * sin_sig_n * (cos_2sigm_n + C * cos_sig_n * (-1.0 + 2.0 * cos_2sigm_n * cos_2sigm_n))
+        )
+        upd = active
+        sin_sig = np.where(upd, sin_sig_n, sin_sig)
+        cos_sig = np.where(upd, cos_sig_n, cos_sig)
+        sigma = np.where(upd, sigma_n, sigma)
+        cos2_alpha = np.where(upd, cos2_alpha_n, cos2_alpha)
+        cos_2sigm = np.where(upd, cos_2sigm_n, cos_2sigm)
+        converged = np.abs(lam_new - lam) < tol
+        lam = np.where(upd, lam_new, lam)
+        active = active & ~converged
+        if not active.any():
+            break
+    u2 = cos2_alpha * (a * a - b * b) / (b * b)
+    A = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)))
+    B = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+    dsig = B * sin_sig * (
+        cos_2sigm
+        + B / 4.0 * (
+            cos_sig * (-1.0 + 2.0 * cos_2sigm * cos_2sigm)
+            - B / 6.0 * cos_2sigm * (-3.0 + 4.0 * sin_sig * sin_sig) * (-3.0 + 4.0 * cos_2sigm * cos_2sigm)
+        )
+    )
+    s = b * A * (sigma - dsig)
+    # coincident points: zero exactly
+    same = (lon1 == lon2) & (lat1 == lat2)
+    return np.where(same, 0.0, s)
+
+
 def planar_dist2(lon1, lat1, lon2, lat2) -> np.ndarray:
     """Squared equirectangular-degree distance — exact float64 arithmetic,
     bit-identical when recomputed in SQL (used for oracle-checked kNN)."""
@@ -218,8 +291,18 @@ def buffer_point(lon: float, lat: float, radius_m: float, segments: int = 32) ->
 
 
 # ---------------------------------------------------------------------------
-# WKT (numpy-backed parser/writer for POINT / LINESTRING / POLYGON /
-# MULTIPOLYGON — the subset the reference's constructors surface needs)
+# WKT (numpy-backed parser/writer for all seven OGC simple-feature kinds).
+#
+# Internal form: (kind, coords, ring_offsets).
+#   POINT/LINESTRING        coords = the vertex run, offsets [0, n]
+#   MULTIPOINT              one "part" per point: offsets arange(n+1)
+#   MULTILINESTRING         offsets delimit member linestrings
+#   POLYGON/MULTIPOLYGON    offsets delimit rings (ring 0 + holes / union)
+#   GEOMETRYCOLLECTION      coords is a LIST of member (kind, coords,
+#                           offsets) tuples; ring_offsets is None. The
+#                           heterogeneous kind can't share the flat layout;
+#                           callers detect it via kind == "GEOMETRYCOLLECTION"
+#                           (or isinstance(coords, list)).
 # ---------------------------------------------------------------------------
 
 
@@ -236,10 +319,28 @@ def wkt_polygon(coords: np.ndarray, ring_offsets: np.ndarray) -> str:
     return f"POLYGON ({', '.join(rings)})"
 
 
+def _split_top_level(inner: str) -> list[str]:
+    """Split a WKT body's top-level comma-separated items (depth-aware)."""
+    items, depth, start = [], 0, 0
+    for i, ch in enumerate(inner):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append(inner[start:i])
+            start = i + 1
+    items.append(inner[start:])
+    return [s.strip() for s in items if s.strip()]
+
+
 def parse_wkt(wkt: str):
-    """Parse POINT/LINESTRING/POLYGON WKT → (kind, coords, ring_offsets)."""
+    """Parse WKT → (kind, coords, ring_offsets) for all seven OGC kinds
+    (GEOMETRYCOLLECTION: coords is a list of member tuples)."""
     s = wkt.strip()
     kind = s.split("(", 1)[0].strip().upper()
+    if kind.endswith(" EMPTY") or s.upper().endswith("EMPTY"):
+        raise ValueError(f"empty geometry unsupported: {wkt!r}")
     body = s[s.index("(") :]
 
     def parse_ring(txt: str) -> np.ndarray:
@@ -252,6 +353,17 @@ def parse_wkt(wkt: str):
     if kind == "LINESTRING":
         c = parse_ring(body.strip("() "))
         return kind, c, np.asarray([0, len(c)])
+    if kind == "MULTIPOINT":
+        # both forms: MULTIPOINT (1 2, 3 4) and MULTIPOINT ((1 2), (3 4))
+        inner = body.strip()[1:-1]
+        pts = [parse_ring(item.strip().strip("()"))[0] for item in _split_top_level(inner)]
+        c = np.asarray(pts, dtype=np.float64)
+        return kind, c, np.arange(len(c) + 1)
+    if kind == "MULTILINESTRING":
+        inner = body.strip()[1:-1]
+        parts = [parse_ring(item.strip().strip("()")) for item in _split_top_level(inner)]
+        offsets = np.concatenate([[0], np.cumsum([len(p) for p in parts])])
+        return kind, np.concatenate(parts), offsets
     if kind == "POLYGON":
         inner = body.strip()[1:-1]
         rings, offsets, pos = [], [0], 0
@@ -282,7 +394,42 @@ def parse_wkt(wkt: str):
         # represented as one multi-ring geometry: ray-crossing parity over
         # the union of rings is exact for disjoint member polygons
         return kind, np.concatenate(rings), np.asarray(offsets)
+    if kind == "GEOMETRYCOLLECTION":
+        inner = body.strip()[1:-1]
+        members = [parse_wkt(item) for item in _split_top_level(inner)]
+        return kind, members, None
     raise ValueError(f"unsupported WKT kind: {kind}")
+
+
+def geom_parts(kind, coords, ring_offsets) -> list[tuple]:
+    """Decompose any geometry into homogeneous simple parts
+    [(kind, coords, offsets), ...] — POINTs, LINESTRINGs, POLYGONs.
+    Collections flatten recursively; a POLYGON with holes stays one part."""
+    if kind == "GEOMETRYCOLLECTION":
+        out = []
+        for m in coords:
+            out.extend(geom_parts(*m))
+        return out
+    if kind == "MULTIPOINT":
+        return [("POINT", coords[i : i + 1], np.asarray([0, 1])) for i in range(len(coords))]
+    if kind == "MULTILINESTRING":
+        return [
+            (
+                "LINESTRING",
+                coords[ring_offsets[i] : ring_offsets[i + 1]],
+                np.asarray([0, ring_offsets[i + 1] - ring_offsets[i]]),
+            )
+            for i in range(len(ring_offsets) - 1)
+        ]
+    if kind == "MULTIPOLYGON":
+        out = []
+        for shell, holes in multipolygon_parts(coords, ring_offsets):
+            idxs = [shell] + holes
+            parts = [coords[ring_offsets[r] : ring_offsets[r + 1]] for r in idxs]
+            offs = np.concatenate([[0], np.cumsum([len(p) for p in parts])])
+            out.append(("POLYGON", np.concatenate(parts), offs))
+        return out
+    return [(kind, coords, ring_offsets)]
 
 
 def make_bbox_ring(min_lon, min_lat, max_lon, max_lat) -> np.ndarray:
@@ -403,19 +550,30 @@ def _normalize_ring(ring: np.ndarray) -> tuple:
     return tuple(map(tuple, r))
 
 
+def _canon_geom(kind, coords, ring_offsets) -> tuple:
+    """Dimension-tagged canonical form: point sets as sorted tuples, line
+    runs as direction-normalized sorted tuples, polygons as sorted
+    canonical rings; collections recurse. Two geometries are structurally
+    equal iff their canonical forms match (so POINT == single-member
+    MULTIPOINT, POLYGON == single-member MULTIPOLYGON, etc.)."""
+    if kind == "GEOMETRYCOLLECTION":
+        return ("GC", tuple(sorted(map(str, (_canon_geom(*m) for m in coords)))))
+    if kind in ("POINT", "MULTIPOINT"):
+        return ("P", tuple(sorted(map(tuple, np.asarray(coords)))))
+    if kind in ("LINESTRING", "MULTILINESTRING"):
+        runs = []
+        for r in range(len(ring_offsets) - 1):
+            run = tuple(map(tuple, coords[ring_offsets[r]:ring_offsets[r + 1]]))
+            runs.append(min(run, run[::-1]))
+        return ("L", tuple(sorted(runs)))
+    rings = sorted(_normalize_ring(coords[ring_offsets[i]:ring_offsets[i + 1]]) for i in range(len(ring_offsets) - 1))
+    return ("A", tuple(rings))
+
+
 def geoms_equal(ka, ca, oa, kb, cb, ob) -> bool:
-    """Geometric equality: same kind family; rings equal as canonical
-    point cycles (POLYGON), same vertex sequence up to reversal
-    (LINESTRING), same point (POINT)."""
-    if ka == "POINT" or kb == "POINT":
-        return ka == kb and len(ca) == len(cb) and bool((ca == cb).all())
-    if ka == "LINESTRING" or kb == "LINESTRING":
-        if ka != kb or len(ca) != len(cb):
-            return False
-        return bool((ca == cb).all() or (ca == cb[::-1]).all())
-    ra = sorted(_normalize_ring(ca[oa[i]:oa[i + 1]]) for i in range(len(oa) - 1))
-    rb = sorted(_normalize_ring(cb[ob[i]:ob[i + 1]]) for i in range(len(ob) - 1))
-    return ra == rb
+    """Geometric equality via canonical forms: same dimension family and
+    identical canonical point sets / line runs / ring cycles."""
+    return _canon_geom(ka, ca, oa) == _canon_geom(kb, cb, ob)
 
 
 class Relate:
@@ -434,14 +592,43 @@ class Relate:
 
     __slots__ = ("ii", "bb", "bb_dim1", "a_covers_b", "b_covers_a", "equal",
                  "proper_cross", "any_contact", "dim_a", "dim_b",
-                 "a_sample_in_b", "b_sample_in_a")
+                 "a_sample_in_b", "b_sample_in_a", "matrix")
 
     def __init__(self, **kw):
         for s in self.__slots__:
             setattr(self, s, kw.get(s, False))
+        if "matrix" not in kw:
+            self.matrix = None  # exact DE-9IM when a branch computed one
 
 
-_DIM = {"POINT": 0, "LINESTRING": 1, "POLYGON": 2, "MULTIPOLYGON": 2}
+_DIM = {
+    "POINT": 0,
+    "MULTIPOINT": 0,
+    "LINESTRING": 1,
+    "MULTILINESTRING": 1,
+    "POLYGON": 2,
+    "MULTIPOLYGON": 2,
+}
+
+
+def geom_dim(kind: str, coords) -> int:
+    if kind == "GEOMETRYCOLLECTION":
+        return max(geom_dim(m[0], m[1]) for m in coords)
+    return _DIM[kind]
+
+
+def line_boundary_points(coords: np.ndarray, ring_offsets: np.ndarray) -> np.ndarray:
+    """Mod-2 boundary of a (multi)linestring: member endpoints occurring an
+    odd number of times (a closed ring therefore has an empty boundary)."""
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for r in range(len(ring_offsets) - 1):
+        run = coords[ring_offsets[r]:ring_offsets[r + 1]]
+        cnt[(float(run[0, 0]), float(run[0, 1]))] += 1
+        cnt[(float(run[-1, 0]), float(run[-1, 1]))] += 1
+    pts = [p for p, n in cnt.items() if n % 2 == 1]
+    return np.asarray(pts, dtype=np.float64).reshape(-1, 2)
 
 
 def _hole_probes(coords, ring_offsets):
@@ -456,53 +643,121 @@ def _hole_probes(coords, ring_offsets):
     return probes
 
 
+def _transpose_matrix(m: str | None) -> str | None:
+    if m is None:
+        return None
+    return m[0] + m[3] + m[6] + m[1] + m[4] + m[7] + m[2] + m[5] + m[8]
+
+
+def _relate_pointset(ka, ca, oa, kb, cb, ob) -> Relate:
+    """(MULTI)POINT vs anything. Point sets have empty boundary (JTS mod-2
+    rule), so the B(a) row of the matrix is all F when a is point-like."""
+    r = Relate(dim_a=_DIM[ka], dim_b=geom_dim(kb, cb), equal=geoms_equal(ka, ca, oa, kb, cb, ob))
+    flip = kb in ("POINT", "MULTIPOINT") and ka not in ("POINT", "MULTIPOINT")
+    if flip:
+        rr = _relate_pointset(kb, cb, ob, ka, ca, oa)
+        out = Relate(
+            dim_a=rr.dim_b, dim_b=rr.dim_a, equal=rr.equal, ii=rr.ii, bb=rr.bb,
+            bb_dim1=rr.bb_dim1, a_covers_b=rr.b_covers_a, b_covers_a=rr.a_covers_b,
+            proper_cross=rr.proper_cross, any_contact=rr.any_contact,
+        )
+        out.matrix = _transpose_matrix(rr.matrix)
+        return out
+
+    pts = np.asarray(ca, dtype=np.float64)
+    px, py = pts[:, 0], pts[:, 1]
+    if kb in ("POINT", "MULTIPOINT"):
+        sa = set(map(tuple, ca))
+        sb = set(map(tuple, cb))
+        shared = bool(sa & sb)
+        r.ii = shared
+        r.any_contact = shared
+        r.a_covers_b = sb <= sa
+        r.b_covers_a = sa <= sb
+        ii = "0" if shared else "F"
+        ie = "0" if (sa - sb) else "F"
+        ei = "0" if (sb - sa) else "F"
+        r.matrix = ii + "F" + ie + "FFF" + ei + "F2"
+        return r
+    if kb in ("POLYGON", "MULTIPOLYGON"):
+        cls = classify_points_in_polygon(px, py, cb, ob)
+        any_in, any_bnd, any_out = bool((cls == 2).any()), bool((cls == 1).any()), bool((cls == 0).any())
+        r.ii = any_in
+        r.any_contact = any_in or any_bnd
+        r.b_covers_a = not any_out
+        r.a_covers_b = False
+        r.matrix = (
+            ("0" if any_in else "F") + ("0" if any_bnd else "F") + ("0" if any_out else "F")
+            + "FFF" + "21" + "2"
+        )
+        return r
+    if kb == "GEOMETRYCOLLECTION":
+        return _relate_collection(ka, ca, oa, kb, cb, ob)
+    # (MULTI)LINESTRING target
+    eb = polygon_edges(cb, ob)
+    on = points_on_segments(px, py, *eb)
+    bnd = line_boundary_points(cb, ob)
+    bnd_set = set(map(tuple, bnd))
+    is_bnd = np.asarray([tuple(p) in bnd_set for p in pts], dtype=bool)
+    any_int = bool((on & ~is_bnd).any())
+    any_bnd = bool((on & is_bnd).any())
+    any_out = bool((~on).any())
+    r.ii = any_int
+    r.any_contact = bool(on.any())
+    r.b_covers_a = bool(on.all())
+    r.a_covers_b = False
+    # E(a) ∩ B(b): a boundary endpoint of b not present in the point set
+    eb_dim = "F" if (len(bnd_set) > 0 and bnd_set <= set(map(tuple, pts))) else ("0" if bnd_set else "F")
+    r.matrix = (
+        ("0" if any_int else "F") + ("0" if any_bnd else "F") + ("0" if any_out else "F")
+        + "FFF" + "1" + eb_dim + "2"
+    )
+    return r
+
+
+def _relate_collection(ka, ca, oa, kb, cb, ob) -> Relate:
+    """GEOMETRYCOLLECTION on either side: decompose into homogeneous parts
+    and combine pairwise relates. Contact/crossing flags are exact (union
+    semantics); covers is the conservative per-part form — B is covered if
+    every part of B is covered by SOME single part of A (a part spanning
+    two touching A-parts is reported uncovered). Matrix is left to the
+    generic dim-based fallback."""
+    parts_a = geom_parts(ka, ca, oa)
+    parts_b = geom_parts(kb, cb, ob)
+    r = Relate(dim_a=geom_dim(ka, ca), dim_b=geom_dim(kb, cb), equal=geoms_equal(ka, ca, oa, kb, cb, ob))
+    covered_b = [False] * len(parts_b)
+    covered_a = [False] * len(parts_a)
+    for i, pa in enumerate(parts_a):
+        for j, pb in enumerate(parts_b):
+            rr = relate_geoms(*pa, *pb)
+            r.ii = r.ii or rr.ii
+            r.bb = r.bb or rr.bb
+            r.bb_dim1 = r.bb_dim1 or rr.bb_dim1
+            r.proper_cross = r.proper_cross or rr.proper_cross
+            r.any_contact = r.any_contact or rr.any_contact
+            covered_b[j] = covered_b[j] or rr.a_covers_b
+            covered_a[i] = covered_a[i] or rr.b_covers_a
+    r.a_covers_b = all(covered_b)
+    r.b_covers_a = all(covered_a)
+    return r
+
+
 def relate_geoms(ka, ca, oa, kb, cb, ob) -> Relate:
-    """Exact relate for POINT / LINESTRING / POLYGON(/MULTIPOLYGON as
-    multi-ring parity) pairs. Containment uses: no transversal crossing
-    + every vertex AND edge-midpoint of the contained geometry inside or
-    on the boundary of the container (exact when crossings are detected,
-    which the edge tests guarantee for non-degenerate inputs)."""
+    """Exact relate for all seven OGC kinds (MULTIPOLYGON as multi-ring
+    parity; GEOMETRYCOLLECTION by part decomposition). Containment uses:
+    no transversal crossing + every vertex AND edge-midpoint of the
+    contained geometry inside or on the boundary of the container (exact
+    when crossings are detected, which the edge tests guarantee for
+    non-degenerate inputs)."""
+    if ka == "GEOMETRYCOLLECTION" or kb == "GEOMETRYCOLLECTION":
+        return _relate_collection(ka, ca, oa, kb, cb, ob)
+    if ka in ("POINT", "MULTIPOINT") or kb in ("POINT", "MULTIPOINT"):
+        return _relate_pointset(ka, ca, oa, kb, cb, ob)
+
     r = Relate(dim_a=_DIM[ka], dim_b=_DIM[kb], equal=geoms_equal(ka, ca, oa, kb, cb, ob))
 
     def poly_like(k):
         return k in ("POLYGON", "MULTIPOLYGON")
-
-    if ka == "POINT" and kb == "POINT":
-        same = bool((ca[0] == cb[0]).all())
-        r.ii = same
-        r.any_contact = same
-        r.a_covers_b = r.b_covers_a = same
-        return r
-
-    if ka == "POINT" or kb == "POINT":
-        # orient as (point, other)
-        flip = kb == "POINT"
-        pk, pc = (kb, cb) if flip else (ka, ca)
-        ok, oc, oo = (ka, ca, oa) if flip else (kb, cb, ob)
-        px, py = pc[0, 0], pc[0, 1]
-        if poly_like(ok):
-            cls = int(classify_points_in_polygon([px], [py], oc, oo)[0])
-            contact = cls > 0
-            r.ii = cls == 2
-            r.bb = False  # point has empty boundary... (its boundary is ∅; JTS treats point's boundary empty)
-            covers = contact
-        else:  # LINESTRING
-            x1, y1, x2, y2 = polygon_edges(oc, oo)
-            on = bool(points_on_segments([px], [py], x1, y1, x2, y2)[0])
-            endpoints = (oc[0], oc[-1])
-            at_end = on and any((px == e[0] and py == e[1]) for e in endpoints)
-            r.ii = on and not at_end
-            r.bb = False
-            r.any_contact = on
-            covers = on
-            contact = on
-        r.any_contact = contact
-        if flip:  # a is the container, b the point
-            r.a_covers_b, r.b_covers_a = covers, r.equal
-        else:
-            r.b_covers_a, r.a_covers_b = covers, r.equal
-        # touches semantics for point-vs-other = contact without interior hit
-        return r
 
     # both are 1/2-dimensional: edge machinery
     ea = polygon_edges(ca, oa)
@@ -556,49 +811,92 @@ def relate_geoms(ka, ca, oa, kb, cb, ob) -> Relate:
         r.any_contact = bool(r.ii or r.bb)
         return r
 
-    if ka == "LINESTRING" and kb == "LINESTRING":
-        r.ii = bool(proper or col_overlap)
-        # endpoint-only contact
-        ea_ends = np.array([ca[0], ca[-1]]); eb_ends = np.array([cb[0], cb[-1]])
-        end_touch = bool(
-            points_on_segments(ea_ends[:, 0], ea_ends[:, 1], *eb).any()
-            or points_on_segments(eb_ends[:, 0], eb_ends[:, 1], *ea).any()
-        )
-        # interior-vs-interior contact at a point that isn't an endpoint of both:
-        # approximate via touch minus endpoint-only — JTS line/line 'touches'
-        # means ONLY boundary points in the intersection.
-        non_end_touch = False
-        if touch and not proper and not col_overlap:
-            # vertices of a on b that are not endpoints of a (interior of a)
-            ia = ca[1:-1]
-            ib = cb[1:-1]
-            non_end_touch = bool(
-                (len(ia) and points_on_segments(ia[:, 0], ia[:, 1], *eb).any())
-                or (len(ib) and points_on_segments(ib[:, 0], ib[:, 1], *ea).any())
-            )
-            # an endpoint of a lying on b's interior touches a's boundary to
-            # b's interior — still 'touches' in JTS; keep ii False.
-        r.ii = bool(r.ii or non_end_touch or r.equal)
-        r.bb = end_touch
+    line_like = ("LINESTRING", "MULTILINESTRING")
+    if ka in line_like and kb in line_like:
+        ba_set = set(map(tuple, line_boundary_points(ca, oa)))
+        bb_set = set(map(tuple, line_boundary_points(cb, ob)))
+        # every point contact occurs at a vertex of at least one line (the
+        # touch tests are endpoint-based) or at a proper crossing, whose
+        # point is interior to both segments hence both line interiors
+        ii_pt, ib_pt, bi_pt, bb_pt = bool(proper), False, False, False
+        va_on_b = points_on_segments(ca[:, 0], ca[:, 1], *eb)
+        vb_on_a = points_on_segments(cb[:, 0], cb[:, 1], *ea)
+        for verts, on_other in ((ca, va_on_b), (cb, vb_on_a)):
+            for p, on in zip(map(tuple, verts), on_other):
+                if not on:
+                    continue
+                in_ba, in_bb = p in ba_set, p in bb_set
+                if in_ba and in_bb:
+                    bb_pt = True
+                elif in_ba:
+                    bi_pt = True  # boundary(a) ∩ interior(b)
+                elif in_bb:
+                    ib_pt = True  # interior(a) ∩ boundary(b)
+                else:
+                    ii_pt = True
         r.a_covers_b = bool(not proper and col_overlap and points_on_segments(sbx, sby, *ea).all()) or r.equal
         r.b_covers_a = bool(not proper and col_overlap and points_on_segments(sax, say, *eb).all()) or r.equal
+        r.ii = bool(col_overlap or ii_pt or r.equal)
+        r.bb = bb_pt
         r.any_contact = bool(proper or touch or col_overlap or r.equal)
+        be_pt = any(not points_on_segments([p[0]], [p[1]], *eb)[0] for p in ba_set)
+        eb_pt = any(not points_on_segments([p[0]], [p[1]], *ea)[0] for p in bb_set)
+        r.matrix = (
+            ("1" if col_overlap else ("0" if r.ii else "F"))
+            + ("0" if ib_pt else "F")
+            + ("F" if r.b_covers_a else "1")
+            + ("0" if bi_pt else "F")
+            + ("0" if bb_pt else "F")
+            + ("0" if be_pt else "F")
+            + ("F" if r.a_covers_b else "1")
+            + ("0" if eb_pt else "F")
+            + "2"
+        )
         return r
 
-    # line × polygon (either order): orient as (line, polygon)
+    # line × polygon (either order): orient as (line L, polygon P)
     flip = poly_like(ka)
     lc, lo, le = (cb, ob, eb) if flip else (ca, oa, ea)
     pc, po, pe = (ca, oa, ea) if flip else (cb, ob, eb)
-    slx = np.concatenate([lc[:, 0], _edge_midpoints(lc, lo)[0]])
-    sly = np.concatenate([lc[:, 1], _edge_midpoints(lc, lo)[1]])
+    lmx, lmy = _edge_midpoints(lc, lo)
+    bnd_l = line_boundary_points(lc, lo)
+    bnd_set = set(map(tuple, bnd_l))
+    slx = np.concatenate([lc[:, 0], lmx])
+    sly = np.concatenate([lc[:, 1], lmy])
     cls = classify_points_in_polygon(slx, sly, pc, po)
+    is_bnd = np.asarray(
+        [tuple(p) in bnd_set for p in lc] + [False] * len(lmx), dtype=bool
+    )
+    cls_int, cls_bnd = cls[~is_bnd], cls[is_bnd]
     any_in, any_out, any_bnd = (cls == 2).any(), (cls == 0).any(), (cls == 1).any()
-    ii = bool(proper or any_in)           # line interior meets polygon interior
+    # polygon vertices sitting on the line (B(P) ∩ L contacts the samples
+    # above can't see); split by whether they hit a line boundary endpoint
+    pv_on_l = points_on_segments(pc[:, 0], pc[:, 1], *le)
+    pv_pts = [tuple(p) for p, on in zip(pc, pv_on_l) if on]
+    ib_pt = bool(proper or (cls_int == 1).any() or any(p not in bnd_set for p in pv_pts))
+    bb_pt = bool((cls_bnd == 1).any() or any(p in bnd_set for p in pv_pts))
     covers = bool(not proper and (cls > 0).all())
     contact = bool(proper or touch or any_in or any_bnd)
+    # polygon boundary ⊆ line? (E(L) ∩ B(P) empty only then)
+    pbx = np.concatenate([pc[:, 0], _edge_midpoints(pc, po)[0]])
+    pby = np.concatenate([pc[:, 1], _edge_midpoints(pc, po)[1]])
+    pb_on_l = bool(points_on_segments(pbx, pby, *le).all()) and not proper
+    m_lp = (
+        ("1" if (proper or any_in) else "F")                       # I(L)∩I(P): a strict-inside point ⇒ a 1-dim piece inside
+        + ("1" if col_overlap else ("0" if ib_pt else "F"))        # I(L)∩B(P)
+        + ("F" if covers else "1")                                 # I(L)∩E(P)
+        + ("0" if (cls_bnd == 2).any() else "F")                   # B(L)∩I(P)
+        + ("0" if bb_pt else "F")                                  # B(L)∩B(P)
+        + ("0" if (cls_bnd == 0).any() else "F")                   # B(L)∩E(P)
+        + "2"                                                      # E(L)∩I(P): a line never covers an area
+        + ("F" if pb_on_l else "1")                                # E(L)∩B(P)
+        + "2"
+    )
+    ii = bool(proper or any_in)           # line interior meets polygon interior
     r.ii = ii
     r.bb = bool(touch or any_bnd)
     r.any_contact = contact
+    r.matrix = _transpose_matrix(m_lp) if flip else m_lp
     if flip:  # a is polygon, b is line
         r.a_covers_b = covers
         r.b_covers_a = False
@@ -665,9 +963,12 @@ def pred_crosses(r: Relate) -> bool:
 
 
 def de9im(r: Relate) -> str:
-    """DE-9IM matrix string. EXACT for polygon×polygon and point×point
-    (derived from the relate classification; verified against the
-    canonical JTS matrices in tests); best-effort dims for line combos."""
+    """DE-9IM matrix string. EXACT for polygon×polygon, point-set, and
+    line-line / line-polygon pairs (the latter computed in relate_geoms
+    from the crossing/overlap classification and stored on the Relate);
+    dim-based fallback only for collection combinations."""
+    if r.matrix is not None:
+        return r.matrix
     if r.dim_a == 2 and r.dim_b == 2:
         ii = "2" if r.ii else "F"
         ib = "1" if (r.b_sample_in_a or (r.proper_cross and not r.a_covers_b)) else "F"
@@ -702,7 +1003,15 @@ def de9im(r: Relate) -> str:
 
 import struct
 
-_WKB_KIND = {"POINT": 1, "LINESTRING": 2, "POLYGON": 3, "MULTIPOLYGON": 6}
+_WKB_KIND = {
+    "POINT": 1,
+    "LINESTRING": 2,
+    "POLYGON": 3,
+    "MULTIPOINT": 4,
+    "MULTILINESTRING": 5,
+    "MULTIPOLYGON": 6,
+    "GEOMETRYCOLLECTION": 7,
+}
 _WKB_NAME = {v: k for k, v in _WKB_KIND.items()}
 
 
@@ -711,13 +1020,24 @@ def wkt_linestring(coords: np.ndarray) -> str:
     return f"LINESTRING ({pts})"
 
 
-def wkt_any(kind: str, coords: np.ndarray, ring_offsets: np.ndarray) -> str:
+def wkt_any(kind: str, coords, ring_offsets) -> str:
     if kind == "POINT":
         return wkt_point(float(coords[0, 0]), float(coords[0, 1]))
     if kind == "LINESTRING":
         return wkt_linestring(coords)
     if kind == "POLYGON":
         return wkt_polygon(coords, ring_offsets)
+    if kind == "MULTIPOINT":
+        pts = ", ".join(f"({x:.10g} {y:.10g})" for x, y in coords)
+        return f"MULTIPOINT ({pts})"
+    if kind == "MULTILINESTRING":
+        parts = []
+        for r in range(len(ring_offsets) - 1):
+            run = coords[ring_offsets[r]:ring_offsets[r + 1]]
+            parts.append("(" + ", ".join(f"{x:.10g} {y:.10g}" for x, y in run) + ")")
+        return f"MULTILINESTRING ({', '.join(parts)})"
+    if kind == "GEOMETRYCOLLECTION":
+        return f"GEOMETRYCOLLECTION ({', '.join(wkt_any(*m) for m in coords)})"
     # MULTIPOLYGON: reconstruct shell/hole grouping by containment depth
     def ring_txt(r):
         ring = coords[ring_offsets[r]:ring_offsets[r + 1]]
@@ -745,6 +1065,16 @@ def wkb_write(kind: str, coords: np.ndarray, ring_offsets: np.ndarray) -> bytes:
         for r in range(len(ring_offsets) - 1):
             out += ring_bytes(c[ring_offsets[r]:ring_offsets[r + 1]])
         return out
+    if kind == "MULTIPOINT":
+        out = b"\x01" + struct.pack("<II", 4, len(c))
+        for row in c:
+            out += b"\x01" + struct.pack("<I", 1) + row.tobytes()
+        return out
+    if kind == "MULTILINESTRING":
+        out = b"\x01" + struct.pack("<II", 5, len(ring_offsets) - 1)
+        for r in range(len(ring_offsets) - 1):
+            out += b"\x01" + struct.pack("<I", 2) + ring_bytes(c[ring_offsets[r]:ring_offsets[r + 1]])
+        return out
     if kind == "MULTIPOLYGON":
         parts = multipolygon_parts(coords, ring_offsets)
         out = b"\x01" + struct.pack("<II", 6, len(parts))
@@ -754,6 +1084,16 @@ def wkb_write(kind: str, coords: np.ndarray, ring_offsets: np.ndarray) -> bytes:
                 out += ring_bytes(c[ring_offsets[r]:ring_offsets[r + 1]])
         return out
     raise ValueError(f"unsupported WKB kind: {kind}")
+
+
+def wkb_write_any(kind: str, coords, ring_offsets) -> bytes:
+    """wkb_write plus GEOMETRYCOLLECTION (type 7, nested members)."""
+    if kind == "GEOMETRYCOLLECTION":
+        out = b"\x01" + struct.pack("<II", 7, len(coords))
+        for m in coords:
+            out += wkb_write_any(*m)
+        return out
+    return wkb_write(kind, coords, ring_offsets)
 
 
 def wkb_read(buf: bytes):
@@ -800,6 +1140,32 @@ def wkb_read(buf: bytes):
                     pos += len(ring)
                     offsets.append(pos)
             return kind, np.concatenate(rings), np.asarray(offsets), off
+        if kind == "MULTIPOINT":
+            npts = u32(buf, off, little)
+            off += 4
+            pts = []
+            for _ in range(npts):
+                _k2, c2, _o2, off = parse_one(off)
+                pts.append(c2[0])
+            c = np.asarray(pts, dtype=np.float64)
+            return kind, c, np.arange(len(c) + 1), off
+        if kind == "MULTILINESTRING":
+            nlines = u32(buf, off, little)
+            off += 4
+            parts = []
+            for _ in range(nlines):
+                _k2, c2, _o2, off = parse_one(off)
+                parts.append(c2)
+            offsets = np.concatenate([[0], np.cumsum([len(p) for p in parts])])
+            return kind, np.concatenate(parts), offsets, off
+        if kind == "GEOMETRYCOLLECTION":
+            n = u32(buf, off, little)
+            off += 4
+            members = []
+            for _ in range(n):
+                k2, c2, o2, off = parse_one(off)
+                members.append((k2, c2, o2))
+            return kind, members, None, off
         raise ValueError(f"unsupported WKB kind code: {kind_code}")
 
     kind, c, o, _ = parse_one(0)
@@ -827,42 +1193,96 @@ def _point_to_segments(px, py, x1, y1, x2, y2):
     return d2, cx, cy
 
 
+def _covered_by_geom(px, py, kind, coords, ring_offsets) -> bool:
+    """Is the point in the closure of the geometry?"""
+    if kind in ("POINT", "MULTIPOINT"):
+        return any(px == x and py == y for x, y in coords)
+    if kind in ("POLYGON", "MULTIPOLYGON"):
+        return int(classify_points_in_polygon([px], [py], coords, ring_offsets)[0]) > 0
+    return bool(points_on_segments([px], [py], *polygon_edges(coords, ring_offsets))[0])
+
+
+def _crossing_witness(ea, eb):
+    """The intersection point of the first properly-crossing segment pair
+    (None if no transversal crossing exists)."""
+    ax1, ay1, ax2, ay2 = (np.asarray(v, dtype=np.float64)[:, None] for v in ea)
+    bx1, by1, bx2, by2 = (np.asarray(v, dtype=np.float64)[None, :] for v in eb)
+    d1 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+    d2 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+    d3 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+    d4 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+    if not proper.any():
+        return None
+    i, j = np.argwhere(proper)[0]
+    t = d1[i, j] / (d1[i, j] - d2[i, j])
+    return (
+        float(ax1[i, 0] + t * (ax2[i, 0] - ax1[i, 0])),
+        float(ay1[i, 0] + t * (ay2[i, 0] - ay1[i, 0])),
+    )
+
+
+def _is_pointlike(kind: str) -> bool:
+    return kind in ("POINT", "MULTIPOINT")
+
+
 def min_distance_and_closest(ka, ca, oa, kb, cb, ob):
     """(min planar-degree distance, closest point ON GEOMETRY A).
-    Distance is 0 (closest point = a point of contact/other geometry's
-    witness) when the geometries intersect."""
+    When the geometries intersect, returns an actual intersection witness
+    (contained vertex, or the solved crossing point of a properly-crossing
+    edge pair) — matching JTS DistanceOp: the returned point lies in
+    A ∩ B, never merely "somewhere on A"."""
+    if ka == "GEOMETRYCOLLECTION" or kb == "GEOMETRYCOLLECTION":
+        best = (np.inf, None)
+        for pa in geom_parts(ka, ca, oa):
+            for pb in geom_parts(kb, cb, ob):
+                d, p = min_distance_and_closest(*pa, *pb)
+                if d < best[0]:
+                    best = (d, p)
+        return best
     r = relate_geoms(ka, ca, oa, kb, cb, ob)
     if r.any_contact:
-        if ka == "POINT":
-            return 0.0, (float(ca[0, 0]), float(ca[0, 1]))
-        if kb == "POINT":
-            return 0.0, (float(cb[0, 0]), float(cb[0, 1]))
-        # a contact witness: any B vertex covered by A, else an A vertex on B
+        if _is_pointlike(ka):
+            for x, y in ca:
+                if _covered_by_geom(float(x), float(y), kb, cb, ob):
+                    return 0.0, (float(x), float(y))
+        if _is_pointlike(kb):
+            # the touching B point lies on A, so it is a valid witness on A
+            for x, y in cb:
+                if _covered_by_geom(float(x), float(y), ka, ca, oa):
+                    return 0.0, (float(x), float(y))
+        # contained-vertex witnesses (B vertex in A, then A vertex in B)
         for x, y in cb:
-            if ka in ("POLYGON", "MULTIPOLYGON"):
-                if classify_points_in_polygon([x], [y], ca, oa)[0] > 0:
-                    return 0.0, (float(x), float(y))
-            else:
-                if points_on_segments([x], [y], *polygon_edges(ca, oa))[0]:
-                    return 0.0, (float(x), float(y))
+            if _covered_by_geom(float(x), float(y), ka, ca, oa):
+                return 0.0, (float(x), float(y))
+        for x, y in ca:
+            if _covered_by_geom(float(x), float(y), kb, cb, ob):
+                return 0.0, (float(x), float(y))
+        # no vertex of either lies in the other: a transversal crossing
+        # must exist — solve the segment-segment intersection
+        w = _crossing_witness(polygon_edges(ca, oa), polygon_edges(cb, ob))
+        if w is not None:
+            return 0.0, w
         return 0.0, (float(ca[0, 0]), float(ca[0, 1]))
     best_d2 = np.inf
     best_pt = (float(ca[0, 0]), float(ca[0, 1]))
-    if ka != "POINT":
+    if not _is_pointlike(ka):
         ea = polygon_edges(ca, oa)
         d2, cx, cy = _point_to_segments(cb[:, 0], cb[:, 1], *ea)
         i, j = np.unravel_index(np.argmin(d2), d2.shape)
         if d2[i, j] < best_d2:
             best_d2, best_pt = float(d2[i, j]), (float(cx[i, j]), float(cy[i, j]))
-    if kb != "POINT":
+    if not _is_pointlike(kb):
         eb = polygon_edges(cb, ob)
         d2, _cx, _cy = _point_to_segments(ca[:, 0], ca[:, 1], *eb)
         i, j = np.unravel_index(np.argmin(d2), d2.shape)
         if d2[i, j] < best_d2:
             best_d2, best_pt = float(d2[i, j]), (float(ca[i, 0]), float(ca[i, 1]))
-    if ka == "POINT" and kb == "POINT":
-        best_d2 = float(planar_dist2(ca[0, 0], ca[0, 1], cb[0, 0], cb[0, 1]))
-        best_pt = (float(ca[0, 0]), float(ca[0, 1]))
+    if _is_pointlike(ka) and _is_pointlike(kb):
+        d2 = planar_dist2(ca[:, 0][:, None], ca[:, 1][:, None], cb[:, 0][None, :], cb[:, 1][None, :])
+        i, j = np.unravel_index(np.argmin(d2), d2.shape)
+        best_d2 = float(d2[i, j])
+        best_pt = (float(ca[i, 0]), float(ca[i, 1]))
     return float(np.sqrt(best_d2)), best_pt
 
 

@@ -170,6 +170,21 @@ def st_polygonFromText(wkt: pd.Series) -> pd.Series:
     return _per_unique(wkt, lambda k, c, o: geo.wkt_any(k, c, o) if k == "POLYGON" else None, object)
 
 
+@F.pandas_udf(StringType())
+def st_mPointFromText(wkt: pd.Series) -> pd.Series:
+    return _per_unique(wkt, lambda k, c, o: geo.wkt_any(k, c, o) if k == "MULTIPOINT" else None, object)
+
+
+@F.pandas_udf(StringType())
+def st_mLineFromText(wkt: pd.Series) -> pd.Series:
+    return _per_unique(wkt, lambda k, c, o: geo.wkt_any(k, c, o) if k == "MULTILINESTRING" else None, object)
+
+
+@F.pandas_udf(StringType())
+def st_mPolyFromText(wkt: pd.Series) -> pd.Series:
+    return _per_unique(wkt, lambda k, c, o: geo.wkt_any(k, c, o) if k == "MULTIPOLYGON" else None, object)
+
+
 # --- accessors --------------------------------------------------------------
 
 
@@ -185,14 +200,31 @@ def st_y(wkt: pd.Series) -> pd.Series:
 
 def _per_unique(wkt: pd.Series, fn, dtype):
     cache = _parse_cache(wkt)
-    vals = {w: (fn(*g) if g is not None else None) for w, g in cache.items()}
+
+    def safe(g):
+        if g is None:
+            return None
+        try:
+            return fn(*g)
+        except Exception:
+            return None  # kind not supported by this accessor → null, not a poisoned batch
+
+    vals = {w: safe(g) for w, g in cache.items()}
     return wkt.map(vals).astype(dtype)
+
+
+def _flat_coords(kind, coords):
+    """All vertices of a geometry as one (n, 2) array (collections
+    concatenate member vertices)."""
+    if kind == "GEOMETRYCOLLECTION":
+        return np.concatenate([_flat_coords(m[0], m[1]) for m in coords])
+    return np.asarray(coords, dtype=np.float64)
 
 
 @F.pandas_udf(StringType())
 def st_envelope(wkt: pd.Series) -> pd.Series:
     def env(kind, coords, offs):
-        x0, y0, x1, y1 = geo.polygon_bbox(coords)
+        x0, y0, x1, y1 = geo.polygon_bbox(_flat_coords(kind, coords))
         return (
             f"POLYGON (({x0!r} {y0!r}, {x1!r} {y0!r}, {x1!r} {y1!r}, "
             f"{x0!r} {y1!r}, {x0!r} {y0!r}))"
@@ -203,26 +235,43 @@ def st_envelope(wkt: pd.Series) -> pd.Series:
 
 @F.pandas_udf(IntegerType())
 def st_numPoints(wkt: pd.Series) -> pd.Series:
-    return _per_unique(wkt, lambda k, c, o: len(c), "Int32")
+    return _per_unique(wkt, lambda k, c, o: len(_flat_coords(k, c)), "Int32")
 
 
 @F.pandas_udf(DoubleType())
 def st_area(wkt: pd.Series) -> pd.Series:
-    return _per_unique(
-        wkt,
-        lambda k, c, o: abs(geo.polygon_area_deg2(c, o)) if k == "POLYGON" else 0.0,
-        np.float64,
-    )
+    def area(kind, coords, offs):
+        if kind == "POLYGON":
+            return abs(geo.polygon_area_deg2(coords, offs))
+        if kind == "MULTIPOLYGON":
+            return sum(abs(geo.polygon_area_deg2(c2, o2)) for _k2, c2, o2 in geo.geom_parts(kind, coords, offs))
+        if kind == "GEOMETRYCOLLECTION":
+            return sum(
+                abs(geo.polygon_area_deg2(c2, o2))
+                for k2, c2, o2 in geo.geom_parts(kind, coords, offs)
+                if k2 == "POLYGON"
+            )
+        return 0.0
+
+    return _per_unique(wkt, area, np.float64)
 
 
 @F.pandas_udf(DoubleType())
 def st_length(wkt: pd.Series) -> pd.Series:
     def ln(kind, coords, offs):
-        if kind != "LINESTRING":
-            return 0.0
-        return float(
-            geo.haversine_m(coords[:-1, 0], coords[:-1, 1], coords[1:, 0], coords[1:, 1]).sum()
-        )
+        if kind == "LINESTRING":
+            return float(
+                geo.haversine_m(coords[:-1, 0], coords[:-1, 1], coords[1:, 0], coords[1:, 1]).sum()
+            )
+        if kind in ("MULTILINESTRING", "GEOMETRYCOLLECTION"):
+            return float(
+                sum(
+                    geo.haversine_m(c2[:-1, 0], c2[:-1, 1], c2[1:, 0], c2[1:, 1]).sum()
+                    for k2, c2, _o2 in geo.geom_parts(kind, coords, offs)
+                    if k2 == "LINESTRING"
+                )
+            )
+        return 0.0
 
     return _per_unique(wkt, ln, np.float64)
 
@@ -233,7 +282,8 @@ def st_centroid(wkt: pd.Series) -> pd.Series:
         if kind == "POLYGON":
             x, y = geo.polygon_centroid(coords, offs)
         else:
-            x, y = float(coords[:, 0].mean()), float(coords[:, 1].mean())
+            c = _flat_coords(kind, coords)
+            x, y = float(c[:, 0].mean()), float(c[:, 1].mean())
         return f"POINT ({x!r} {y!r})"
 
     return _per_unique(wkt, cen, object)
@@ -241,9 +291,11 @@ def st_centroid(wkt: pd.Series) -> pd.Series:
 
 @F.pandas_udf(StringType())
 def st_exteriorRing(wkt: pd.Series) -> pd.Series:
-    """Polygon shell as a LINESTRING (SQLSpatialAccessorFunctions analog)."""
+    """Polygon shell as a LINESTRING (SQLSpatialAccessorFunctions analog).
+    POLYGON only — the reference casts to Polygon via JTS, so a
+    MULTIPOLYGON answers null rather than silently dropping shells."""
     def ring(kind, coords, offs):
-        if kind not in ("POLYGON", "MULTIPOLYGON"):
+        if kind != "POLYGON":
             return None
         return geo.wkt_linestring(coords[offs[0]:offs[1]])
 
@@ -287,27 +339,65 @@ def st_coordDim(wkt: pd.Series) -> pd.Series:
 
 @F.pandas_udf(IntegerType())
 def st_dimension(wkt: pd.Series) -> pd.Series:
-    """Topological dimension: POINT 0, LINESTRING 1, (MULTI)POLYGON 2."""
-    return _per_unique(wkt, lambda k, c, o: {"POINT": 0, "LINESTRING": 1}.get(k, 2), "Int32")
+    """Topological dimension: (MULTI)POINT 0, (MULTI)LINESTRING 1,
+    (MULTI)POLYGON 2, GEOMETRYCOLLECTION = max member dimension."""
+    return _per_unique(wkt, lambda k, c, o: geo.geom_dim(k, c), "Int32")
+
+
+_TYPE_NAME = {
+    "POINT": "Point",
+    "LINESTRING": "LineString",
+    "POLYGON": "Polygon",
+    "MULTIPOINT": "MultiPoint",
+    "MULTILINESTRING": "MultiLineString",
+    "MULTIPOLYGON": "MultiPolygon",
+    "GEOMETRYCOLLECTION": "GeometryCollection",
+}
 
 
 @F.pandas_udf(StringType())
 def st_geometryType(wkt: pd.Series) -> pd.Series:
-    return _per_unique(
-        wkt,
-        lambda k, c, o: {"POINT": "Point", "LINESTRING": "LineString",
-                         "POLYGON": "Polygon", "MULTIPOLYGON": "MultiPolygon"}[k],
-        object,
-    )
+    return _per_unique(wkt, lambda k, c, o: _TYPE_NAME[k], object)
+
+
+def _num_geometries(kind, coords, offs) -> int:
+    if kind == "GEOMETRYCOLLECTION":
+        return len(coords)
+    if kind == "MULTIPOINT":
+        return len(coords)
+    if kind == "MULTILINESTRING":
+        return len(offs) - 1
+    if kind == "MULTIPOLYGON":
+        return len(geo.multipolygon_parts(coords, offs))
+    return 1
 
 
 @F.pandas_udf(IntegerType())
 def st_numGeometries(wkt: pd.Series) -> pd.Series:
-    return _per_unique(
-        wkt,
-        lambda k, c, o: len(geo.multipolygon_parts(c, o)) if k == "MULTIPOLYGON" else 1,
-        "Int32",
-    )
+    return _per_unique(wkt, _num_geometries, "Int32")
+
+
+@F.pandas_udf(StringType())
+def st_geometryN(wkt: pd.Series, n: pd.Series) -> pd.Series:
+    """n-th member geometry (1-based) of a multi-geometry or collection;
+    the geometry itself for n=1 on simple kinds."""
+    cache = _parse_cache(wkt)
+    out = []
+    for w, i in zip(wkt.to_numpy(object), n.to_numpy()):
+        g = cache.get(w)
+        if g is None or i is None or int(i) < 1:
+            out.append(None)
+            continue
+        try:
+            if g[0] == "GEOMETRYCOLLECTION":
+                members = g[1]
+                out.append(geo.wkt_any(*members[int(i) - 1]) if int(i) <= len(members) else None)
+            else:
+                parts = geo.geom_parts(*g)
+                out.append(geo.wkt_any(*parts[int(i) - 1]) if int(i) <= len(parts) else None)
+        except Exception:
+            out.append(None)
+    return pd.Series(out)
 
 
 # --- relations --------------------------------------------------------------
@@ -326,6 +416,22 @@ def _pip_against(poly_wkt: pd.Series, lon: np.ndarray, lat: np.ndarray) -> np.nd
     return out
 
 
+def _pip_interior_against(poly_wkt: pd.Series, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+    """Strict-interior PIP (classify == 2): the st_contains/st_within fast
+    path — boundary points answer False, matching the exact relate kernel
+    and JTS (raw ray-crossing parity is side-dependent on the boundary)."""
+    cache = _parse_cache(poly_wkt)
+    out = np.zeros(len(lon), dtype=bool)
+    codes, uniques = pd.factorize(poly_wkt)
+    for i, w in enumerate(uniques):
+        g = cache.get(w)
+        if g is None:
+            continue
+        m = codes == i
+        out[m] = geo.classify_points_in_polygon(lon[m], lat[m], g[1], g[2]) == 2
+    return out
+
+
 def _containment_series(container: pd.Series, contained: pd.Series, pred) -> pd.Series:
     """Vectorized PIP fast path for POLYGON-contains-POINT rows; exact
     relate kernel for every other kind pairing (the fast path must not
@@ -337,7 +443,7 @@ def _containment_series(container: pd.Series, contained: pd.Series, pred) -> pd.
     out = np.empty(len(container), dtype=object)
     if fast.any():
         m = fast.to_numpy()
-        out[m] = _pip_against(container[fast], pts[0].to_numpy()[m], pts[1].to_numpy()[m])
+        out[m] = _pip_interior_against(container[fast], pts[0].to_numpy()[m], pts[1].to_numpy()[m])
     if (~fast).any():
         a, b = (container[~fast], contained[~fast])
         gen = _per_unique_pair(a, b, lambda ga, gb: pred(geo.relate_geoms(*ga, *gb)))
@@ -435,8 +541,8 @@ def st_coveredBy(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
 
 @F.pandas_udf(StringType())
 def st_relate(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
-    """DE-9IM matrix string (dims approximated from the exact predicate
-    classification; see geometry.de9im)."""
+    """DE-9IM matrix string — exact dims for point/line/polygon pairings
+    (verified against canonical JTS matrices in tests); see geometry.de9im."""
     return pd.Series(
         _per_unique_pair(a_wkt, b_wkt, lambda ga, gb: geo.de9im(geo.relate_geoms(*ga, *gb)))
     )
@@ -490,11 +596,24 @@ def st_closestPoint(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
 
 @F.pandas_udf(DoubleType())
 def st_distanceSphere(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
-    """Great-circle meters (st_distanceSpheroid analog, mean-radius sphere)."""
+    """Great-circle meters (mean-radius sphere — fast approximation;
+    st_distanceSpheroid is the exact-ellipsoid variant)."""
     pa = a_wkt.str.extract(_POINT_NUM, expand=True).astype(np.float64)
     pb = b_wkt.str.extract(_POINT_NUM, expand=True).astype(np.float64)
     return pd.Series(
         geo.haversine_m(pa[0].to_numpy(), pa[1].to_numpy(), pb[0].to_numpy(), pb[1].to_numpy())
+    )
+
+
+@F.pandas_udf(DoubleType())
+def st_distanceSpheroid(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
+    """WGS84 ellipsoidal geodesic meters between two POINTs — Vincenty's
+    inverse formula (the reference's st_distanceSpheroid / JTS
+    geodeticDistance semantics), fully vectorized."""
+    pa = a_wkt.str.extract(_POINT_NUM, expand=True).astype(np.float64)
+    pb = b_wkt.str.extract(_POINT_NUM, expand=True).astype(np.float64)
+    return pd.Series(
+        geo.vincenty_m(pa[0].to_numpy(), pa[1].to_numpy(), pb[0].to_numpy(), pb[1].to_numpy())
     )
 
 
@@ -563,7 +682,7 @@ def st_idlSafeGeom(wkt: pd.Series) -> pd.Series:
 def st_asBinary(wkt: pd.Series) -> pd.Series:
     """Geometry → little-endian WKB bytes (SQLGeometricOutputFunctions
     st_asBinary analog)."""
-    return _per_unique(wkt, lambda k, c, o: geo.wkb_write(k, c, o), object)
+    return _per_unique(wkt, lambda k, c, o: geo.wkb_write_any(k, c, o), object)
 
 
 @F.pandas_udf(StringType())
@@ -596,20 +715,37 @@ def st_castToPolygon(wkt: pd.Series) -> pd.Series:
 
 @F.pandas_udf(StringType())
 def st_castToGeometry(wkt: pd.Series) -> pd.Series:
-    return _per_unique(wkt, _cast_to({"POINT", "LINESTRING", "POLYGON", "MULTIPOLYGON"}), object)
+    return _per_unique(wkt, _cast_to(set(geo._WKB_KIND)), object)
 
 
 @F.pandas_udf(StringType())
 def st_asGeoJSON(wkt: pd.Series) -> pd.Series:
-    def gj(kind, coords, offs):
+    def gj_obj(kind, coords, offs):
         if kind == "POINT":
-            return json.dumps({"type": "Point", "coordinates": [coords[0, 0], coords[0, 1]]})
+            return {"type": "Point", "coordinates": [coords[0, 0], coords[0, 1]]}
         if kind == "LINESTRING":
-            return json.dumps({"type": "LineString", "coordinates": coords.tolist()})
+            return {"type": "LineString", "coordinates": coords.tolist()}
+        if kind == "MULTIPOINT":
+            return {"type": "MultiPoint", "coordinates": coords.tolist()}
+        if kind == "MULTILINESTRING":
+            return {
+                "type": "MultiLineString",
+                "coordinates": [coords[offs[r]:offs[r + 1]].tolist() for r in range(len(offs) - 1)],
+            }
+        if kind == "MULTIPOLYGON":
+            return {
+                "type": "MultiPolygon",
+                "coordinates": [
+                    [c2[o2[r]:o2[r + 1]].tolist() for r in range(len(o2) - 1)]
+                    for _k2, c2, o2 in geo.geom_parts(kind, coords, offs)
+                ],
+            }
+        if kind == "GEOMETRYCOLLECTION":
+            return {"type": "GeometryCollection", "geometries": [gj_obj(*m) for m in coords]}
         rings = [coords[offs[r]:offs[r + 1]].tolist() for r in range(len(offs) - 1)]
-        return json.dumps({"type": "Polygon", "coordinates": rings})
+        return {"type": "Polygon", "coordinates": rings}
 
-    return _per_unique(wkt, gj, object)
+    return _per_unique(wkt, lambda k, c, o: json.dumps(gj_obj(k, c, o)), object)
 
 
 def _group_by_param(param: pd.Series, fn):
@@ -723,6 +859,9 @@ ALL_FUNCTIONS = {
     "st_pointFromText": st_pointFromText,
     "st_lineFromText": st_lineFromText,
     "st_polygonFromText": st_polygonFromText,
+    "st_mPointFromText": st_mPointFromText,
+    "st_mLineFromText": st_mLineFromText,
+    "st_mPolyFromText": st_mPolyFromText,
     "st_x": st_x,
     "st_y": st_y,
     "st_envelope": st_envelope,
@@ -737,6 +876,7 @@ ALL_FUNCTIONS = {
     "st_dimension": st_dimension,
     "st_geometryType": st_geometryType,
     "st_numGeometries": st_numGeometries,
+    "st_geometryN": st_geometryN,
     "st_contains": st_contains,
     "st_containsPoint": st_containsPoint,
     "st_within": st_within,
@@ -752,6 +892,7 @@ ALL_FUNCTIONS = {
     "st_relateBool": st_relateBool,
     "st_distance": st_distance,
     "st_distanceSphere": st_distanceSphere,
+    "st_distanceSpheroid": st_distanceSpheroid,
     "st_closestPoint": st_closestPoint,
     "st_translate": st_translate,
     "st_bufferPoint": st_bufferPoint,

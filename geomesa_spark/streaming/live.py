@@ -276,6 +276,42 @@ def stateful_track_assembler(
     )
 
 
+def stream_stream_fix_event_join(
+    fixes: DataFrame,
+    events: DataFrame,
+    bound_sec: int = 600,
+    id_col: str = "url",
+    fix_ts: str = "warc_ts",
+    ev_ts: str = "ev_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """STREAM-STREAM inner join with an event-time interval bound: each
+    track fix pairs with the same id's events whose timestamp falls in
+    [fix_ts − bound, fix_ts + bound]. Both sides carry watermarks, so the
+    join-state store retains only rows young enough to still find a match
+    (watermark + bound) — the bounded-state form Structured Streaming
+    requires of stream×stream joins; unbounded-time joins are rejected by
+    the planner at scale, by design.
+
+    The same expression on two batch DataFrames is the exact batch twin
+    (tested), mirroring the CQL-on-stream equivalence of the rest of this
+    module."""
+    f = fixes.withWatermark(fix_ts, watermark).alias("fx")
+    e = events.withWatermark(ev_ts, watermark).alias("ev")
+    cond = (
+        (F.col(f"fx.{id_col}") == F.col(f"ev.{id_col}"))
+        & (F.col(f"ev.{ev_ts}") >= F.col(f"fx.{fix_ts}") - F.expr(f"INTERVAL {int(bound_sec)} SECONDS"))
+        & (F.col(f"ev.{ev_ts}") <= F.col(f"fx.{fix_ts}") + F.expr(f"INTERVAL {int(bound_sec)} SECONDS"))
+    )
+    return f.join(e, cond, "inner").select(
+        F.col(f"fx.{id_col}").alias(id_col),
+        F.col(f"fx.{fix_ts}").alias(fix_ts),
+        F.col(f"ev.{ev_ts}").alias(ev_ts),
+        *[F.col(f"fx.{c}").alias(c) for c in fixes.columns if c not in (id_col, fix_ts)],
+        *[F.col(f"ev.{c}").alias(c) for c in events.columns if c not in (id_col, ev_ts)],
+    )
+
+
 def streaming_pip_counts(
     stream: DataFrame,
     polys,

@@ -52,7 +52,27 @@ def point(draw):
     return "POINT", np.array([[draw(coord), draw(coord)]]), np.asarray([0, 1])
 
 
-geom = st.one_of(convex_polygon(), box_polygon(), linestring(), point())
+@st.composite
+def multipoint(draw):
+    n = draw(st.integers(min_value=1, max_value=4))
+    pts = np.unique(np.array([[draw(coord), draw(coord)] for _ in range(n)]), axis=0)
+    return "MULTIPOINT", pts, np.arange(len(pts) + 1)
+
+
+@st.composite
+def multilinestring(draw):
+    n_parts = draw(st.integers(min_value=1, max_value=3))
+    parts = []
+    for _ in range(n_parts):
+        _k, c, _o = draw(linestring())
+        parts.append(c)
+    offsets = np.concatenate([[0], np.cumsum([len(p) for p in parts])])
+    return "MULTILINESTRING", np.concatenate(parts), offsets
+
+
+geom = st.one_of(
+    convex_polygon(), box_polygon(), linestring(), point(), multipoint(), multilinestring()
+)
 
 
 def rel(a, b):
@@ -123,17 +143,18 @@ def test_boxes_vs_interval_arithmetic(a, b):
 @given(point(), geom)
 def test_point_vs_any_matches_classification(p, g):
     r = rel(p, g)
-    if g[0] == "POINT":
-        same = bool((p[1][0] == g[1][0]).all())
+    if g[0] in ("POINT", "MULTIPOINT"):
+        same = tuple(p[1][0]) in set(map(tuple, g[1]))
         assert geo.pred_intersects(r) == same
-        assert geo.pred_equals(r) == same
+        if g[0] == "POINT":
+            assert geo.pred_equals(r) == same
         return
     if g[0] == "POLYGON":
         cls = int(geo.classify_points_in_polygon(p[1][:, 0], p[1][:, 1], g[1], g[2])[0])
         assert geo.pred_intersects(r) == (cls > 0)
         assert geo.pred_within(r) == (cls == 2)
         assert geo.pred_touches(r) == (cls == 1)
-    else:  # LINESTRING
+    else:  # (MULTI)LINESTRING
         on = bool(geo.points_on_segments(p[1][:, 0], p[1][:, 1], *geo.polygon_edges(g[1], g[2]))[0])
         assert geo.pred_intersects(r) == on
 

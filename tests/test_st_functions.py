@@ -348,7 +348,8 @@ CANONICAL_DE9IM = [
     (SQ, SQ_EDGE, "FF2F11212"),                # edge touch (1-dim boundary)
     (SQ, SQ_CORNER, "FF2F01212"),              # corner touch (0-dim boundary)
     ("POINT (1 1)", "POINT (1 1)", "0FFFFFFF2"),
-    ("POINT (1 1)", "POINT (2 2)", "FF0FFFFF2"),
+    # JTS: each point lies in the other's EXTERIOR → IE and EI are 0-dim
+    ("POINT (1 1)", "POINT (2 2)", "FF0FFF0F2"),
 ]
 
 
@@ -379,3 +380,150 @@ def test_cell_ring_cover_and_aliases(registered):
     k, c, o = geo_l.parse_wkt(SQ)
     want, _ = cover_cells_one(c, o, 8)
     assert sorted(r["cover"]) == sorted(want)
+
+
+# --- round 3: line-combination DE-9IM (exact dims), multi-geometries,
+# spheroid distance, closest-point witness ----------------------------------
+
+CANONICAL_DE9IM_LINES = [
+    # classic JTS pairs, matrices from JTS relate()
+    ("LINESTRING (0 0, 10 10)", "LINESTRING (0 10, 10 0)", "0F1FF0102"),   # proper cross
+    ("LINESTRING (0 0, 5 0)", "LINESTRING (5 0, 10 0)", "FF1F00102"),      # endpoint touch
+    ("LINESTRING (0 0, 10 0)", "LINESTRING (2 0, 8 0)", "101FF0FF2"),      # contains collinear
+    ("LINESTRING (0 0, 10 0)", "LINESTRING (5 0, 15 0)", "1010F0102"),     # collinear overlap
+    ("LINESTRING (0 0, 10 0)", "LINESTRING (0 0, 10 0)", "1FFF0FFF2"),     # equal
+    ("LINESTRING (0 0, 10 0)", "LINESTRING (3 5, 3 9)", "FF1FF0102"),      # disjoint
+    ("LINESTRING (0 0, 10 0)", "LINESTRING (5 0, 5 5)", "F01FF0102"),      # B endpoint on A interior
+    ("LINESTRING (0 0, 10 0)", "POLYGON ((2 -2, 8 -2, 8 2, 2 2, 2 -2))", "101FF0212"),  # line crosses polygon (endpoints outside)
+    ("LINESTRING (3 3, 7 7)", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", "1FF0FF212"),  # line within polygon
+    ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", "LINESTRING (3 3, 7 7)", "102FF1FF2"),  # polygon contains line
+    ("LINESTRING (0 0, 10 0)", "POLYGON ((20 0, 30 0, 30 10, 20 10, 20 0))", "FF1FF0212"),  # disjoint
+    ("LINESTRING (0 10, 10 10)", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", "F1FF0F212"),  # line along boundary (fully covered, endpoints at corners)
+    ("POINT (5 5)", "LINESTRING (0 0, 10 10)", "0FFFFF102"),               # point on line interior
+    ("POINT (0 0)", "LINESTRING (0 0, 10 10)", "F0FFFF102"),               # point at line endpoint
+    ("POINT (5 5)", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", "0FFFFF212"),  # point in polygon
+    ("POINT (0 5)", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", "F0FFFF212"),  # point on boundary
+]
+
+
+def test_de9im_line_and_point_combinations(registered):
+    spark = registered
+    pdf = pd.DataFrame(CANONICAL_DE9IM_LINES, columns=["a", "b", "want"])
+    got = spark.createDataFrame(pdf).selectExpr("a", "b", "want", "st_relate(a, b) got").collect()
+    for r in got:
+        assert r["got"] == r["want"], (r["a"], r["b"], r["want"], r["got"])
+
+
+def test_multi_geometry_sql_surface(registered):
+    spark = registered
+    mp = "MULTIPOINT ((1 1), (5 5), (20 20))"
+    ml = "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 4))"
+    gc = "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 5 5), POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)))"
+    r = spark.sql(f"""
+        select st_geometryType('{mp}') t_mp,
+               st_geometryType('{ml}') t_ml,
+               st_geometryType('{gc}') t_gc,
+               st_numGeometries('{mp}') n_mp,
+               st_numGeometries('{ml}') n_ml,
+               st_numGeometries('{gc}') n_gc,
+               st_numPoints('{gc}') np_gc,
+               st_dimension('{mp}') d_mp,
+               st_dimension('{ml}') d_ml,
+               st_dimension('{gc}') d_gc,
+               st_geometryN('{ml}', 2) g2_ml,
+               st_geometryN('{gc}', 1) g1_gc,
+               st_mPointFromText('{mp}') c_mp,
+               st_mLineFromText('{ml}') c_ml,
+               st_mPointFromText('{ml}') c_bad,
+               st_asText('{gc}') rt_gc,
+               st_envelope('{mp}') env_mp,
+               st_exteriorRing('MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))') er_mp,
+               st_intersects('{mp}', 'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))') i_mp,
+               st_within('{mp}', 'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))') w_mp,
+               st_within('MULTIPOINT ((1 1), (5 5))', 'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))') w_mp2,
+               st_crosses('{ml}', 'LINESTRING (0 1, 1 0)') x_ml,
+               st_asGeoJSON('{mp}') gj_mp
+    """).collect()[0]
+    assert r["t_mp"] == "MultiPoint" and r["t_ml"] == "MultiLineString" and r["t_gc"] == "GeometryCollection"
+    assert r["n_mp"] == 3 and r["n_ml"] == 2 and r["n_gc"] == 3
+    assert r["np_gc"] == 1 + 2 + 5
+    assert r["d_mp"] == 0 and r["d_ml"] == 1 and r["d_gc"] == 2
+    assert r["g2_ml"] == "LINESTRING (2 2, 3 3, 4 4)"
+    assert r["g1_gc"] == "POINT (1 2)"
+    assert r["c_mp"] is not None and r["c_ml"] is not None and r["c_bad"] is None
+    assert r["rt_gc"].startswith("GEOMETRYCOLLECTION (POINT (1 2)")
+    assert "20" in r["env_mp"]
+    assert r["er_mp"] is None  # MULTIPOLYGON exteriorRing undefined (reference casts to Polygon)
+    assert r["i_mp"] is True and r["w_mp"] is False and r["w_mp2"] is True
+    assert r["x_ml"] is True
+    assert json.loads(r["gj_mp"])["type"] == "MultiPoint"
+
+
+def test_multi_geometry_wkb_roundtrip(registered):
+    spark = registered
+    for w in [
+        "MULTIPOINT ((1 2), (3 4))",
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+        "GEOMETRYCOLLECTION (POINT (1 2), POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)))",
+    ]:
+        r = spark.sql(f"select st_geomFromWKB(st_asBinary('{w}')) rt").collect()[0]
+        assert r["rt"] == w, (w, r["rt"])
+
+
+def test_distance_spheroid_published_values(registered):
+    """Vincenty inverse vs published geodesics: the Geoscience Australia
+    Flinders Peak - Buninyong pair (54 972.271 m), one degree of longitude
+    on the equator (a*pi/180), and the WGS84 quarter meridian."""
+    spark = registered
+    lat1 = -(37 + 57 / 60 + 3.72030 / 3600)
+    lon1 = 144 + 25 / 60 + 29.52440 / 3600
+    lat2 = -(37 + 39 / 60 + 10.15610 / 3600)
+    lon2 = 143 + 55 / 60 + 35.38390 / 3600
+    r = spark.sql(f"""
+        select st_distanceSpheroid(st_point({lon1}d, {lat1}d), st_point({lon2}d, {lat2}d)) fb,
+               st_distanceSpheroid('POINT (0 0)', 'POINT (1 0)') eq1,
+               st_distanceSpheroid('POINT (0 0)', 'POINT (0 90)') qm,
+               st_distanceSpheroid('POINT (5 5)', 'POINT (5 5)') zero
+    """).collect()[0]
+    assert abs(r["fb"] - 54972.271) < 0.01
+    assert abs(r["eq1"] - 6378137.0 * np.pi / 180.0) < 1e-6
+    assert abs(r["qm"] - 10001965.729) < 0.01
+    assert r["zero"] == 0.0
+
+
+def test_closest_point_intersection_witness(registered):
+    """ADVICE fix: when geometries intersect, st_closestPoint returns an
+    actual point of A ∩ B (JTS DistanceOp), not just A's first vertex."""
+    spark = registered
+    r = spark.sql("""
+        select st_closestPoint('LINESTRING (0 0, 10 10)', 'LINESTRING (0 10, 10 0)') xing,
+               st_closestPoint('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))',
+                               'POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))') ovl,
+               st_distance('LINESTRING (0 0, 10 10)', 'LINESTRING (0 10, 10 0)') d
+    """).collect()[0]
+    assert r["xing"] == "POINT (5 5)"
+    assert r["d"] == 0.0
+    # overlap witness must lie inside BOTH rectangles' closures
+    k, c, o = geo.parse_wkt(r["ovl"])
+    x, y = float(c[0, 0]), float(c[0, 1])
+    assert 2 <= x <= 4 and 2 <= y <= 4, r["ovl"]
+
+
+def test_contains_boundary_point_fast_path_matches_kernel(registered):
+    """ADVICE fix: the PIP fast path now answers False for boundary points
+    on BOTH polygon sides (raw parity was side-dependent)."""
+    spark = registered
+    sq = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    r = spark.sql(f"""
+        select st_contains('{sq}', 'POINT (0 5)') left,
+               st_contains('{sq}', 'POINT (10 5)') right,
+               st_contains('{sq}', 'POINT (5 0)') bottom,
+               st_contains('{sq}', 'POINT (5 10)') top,
+               st_contains('{sq}', 'POINT (5 5)') inside,
+               st_covers('{sq}', 'POINT (0 5)') cov_left,
+               st_covers('{sq}', 'POINT (10 5)') cov_right
+    """).collect()[0]
+    assert r["left"] is False and r["right"] is False
+    assert r["bottom"] is False and r["top"] is False
+    assert r["inside"] is True
+    assert r["cov_left"] is True and r["cov_right"] is True

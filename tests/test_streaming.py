@@ -356,3 +356,59 @@ def test_stateful_assembler_cross_batch_late_merge(spark, tmp_path):
     assert list(out["n_fixes"]) == [2, 1]  # 10:00+10:10 merged; 12:00 alone
     assert out["last_ts"].iloc[0] == t0 + pd.Timedelta(minutes=10)
     q.stop()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Round-3: STREAM × STREAM join (track fixes ⋈ events within a time
+    bound) — two file-source streams, watermark-bounded interval join,
+    output equal to the identical expression over batch reads."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    fix_dir, ev_dir = str(tmp_path / "fixes"), str(tmp_path / "events")
+    os.makedirs(fix_dir), os.makedirs(ev_dir)
+    rng_ids = [f"u{i % 7}" for i in range(40)]
+    fixes_pdf = pd.DataFrame(
+        {
+            "url": rng_ids,
+            "warc_ts": [base + dt.timedelta(seconds=37 * i) for i in range(40)],
+            "lon": np.linspace(-10, 10, 40),
+            "lat": np.linspace(40, 50, 40),
+        }
+    )
+    events_pdf = pd.DataFrame(
+        {
+            "url": [f"u{(i * 3) % 7}" for i in range(60)],
+            "ev_ts": [base + dt.timedelta(seconds=29 * i - 120) for i in range(60)],
+            "event_type": [f"t{i % 4}" for i in range(60)],
+        }
+    )
+    # Spark's parquet reader wants micro-second timestamps, not pandas ns
+    fixes_pdf["warc_ts"] = fixes_pdf["warc_ts"].astype("datetime64[us]")
+    events_pdf["ev_ts"] = events_pdf["ev_ts"].astype("datetime64[us]")
+    # two micro-batch files per side (cross-batch matches must still join)
+    fixes_pdf.iloc[:20].to_parquet(os.path.join(fix_dir, "b0.parquet"), index=False)
+    fixes_pdf.iloc[20:].to_parquet(os.path.join(fix_dir, "b1.parquet"), index=False)
+    events_pdf.iloc[:30].to_parquet(os.path.join(ev_dir, "b0.parquet"), index=False)
+    events_pdf.iloc[30:].to_parquet(os.path.join(ev_dir, "b1.parquet"), index=False)
+
+    FIX_SCHEMA = "url string, warc_ts timestamp, lon double, lat double"
+    EV_SCHEMA = "url string, ev_ts timestamp, event_type string"
+    fx = spark.readStream.schema(FIX_SCHEMA).option("maxFilesPerTrigger", 1).parquet(fix_dir)
+    ev = spark.readStream.schema(EV_SCHEMA).option("maxFilesPerTrigger", 1).parquet(ev_dir)
+    joined = live.stream_stream_fix_event_join(fx, ev, bound_sec=300, watermark="2 hours")
+    q = _run_stream(joined, "ss_join_t")
+    out = spark.sql("select * from ss_join_t").toPandas()
+    q.stop()
+
+    b = live.stream_stream_fix_event_join(
+        spark.read.schema(FIX_SCHEMA).parquet(fix_dir),
+        spark.read.schema(EV_SCHEMA).parquet(ev_dir),
+        bound_sec=300,
+        watermark="2 hours",
+    ).toPandas()
+    assert len(b) > 0  # fixture actually produces matches
+    key = ["url", "warc_ts", "ev_ts", "event_type"]
+    a_s = out[key].sort_values(key).reset_index(drop=True)
+    b_s = b[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a_s, b_s)
