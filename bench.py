@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "token_counts_regex",
     "media_features",
     "poly_pair_relations",
+    # round 3 additions
+    "pip_count_auto",
+    "ann_ivf_topk",
 ]
 
 
@@ -169,7 +172,12 @@ def run(spark, sf_dir: str) -> dict:
     # is visible as spread, not misread as a code regression.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPEATS", "3"))
     run_detail: dict[str, dict] = {}
-    for name in BENCH_QUERIES:
+    order = list(BENCH_QUERIES)
+    if os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE"):  # order-shuffled control run
+        import random
+
+        random.Random(int(os.environ["SPARK_GRAFT_BENCH_SHUFFLE"])).shuffle(order)
+    for name in order:
         spark.catalog.clearCache()
         runs_q = []
         for _ in range(repeats):

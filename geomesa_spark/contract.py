@@ -1750,6 +1750,20 @@ def q_ann_lsh_topk(spark, sf_dir):
     return ann_lsh_topk(e, n_queries=ANN_NQ, k=ANN_K)
 
 
+@_q("ann_ivf_topk", None)
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbors: spherical-k-means coarse
+    quantizer (trained on a bounded deterministic sample) → executor-side
+    cluster assignment → per-query nprobe-cell probe join → exact cosine
+    re-rank. The partition-prunable scale path for ANN (rows-only;
+    recall-verified against the brute-force baseline in
+    tests/test_ann.py)."""
+    from geomesa_spark.operators.ann import ann_ivf_topk
+
+    e = _load(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(e, n_queries=ANN_NQ, k=ANN_K, n_centroids=16, nprobe=4)
+
+
 @_q(
     "ann_cosine_topk",
     (

@@ -341,6 +341,12 @@ def parse_wkt(wkt: str):
     kind = s.split("(", 1)[0].strip().upper()
     if kind.endswith(" EMPTY") or s.upper().endswith("EMPTY"):
         raise ValueError(f"empty geometry unsupported: {wkt!r}")
+    # dimensioned WKT (POINT Z / M / ZM ...): parse the 2-D projection —
+    # extra ordinates drop per coordinate (parse_ring keeps the first two)
+    for suffix in (" ZM", " Z", " M"):
+        if kind.endswith(suffix):
+            kind = kind[: -len(suffix)].strip()
+            break
     body = s[s.index("(") :]
 
     def parse_ring(txt: str) -> np.ndarray:

@@ -33,7 +33,8 @@ from pyspark.sql.types import ArrayType, BinaryType, BooleanType, DoubleType, In
 from geomesa_spark.functions import cells as C
 from geomesa_spark.functions import geometry as geo
 
-_POINT_NUM = r"POINT\s*\(\s*(-?[\d.eE+-]+)\s+(-?[\d.eE+-]+)\s*\)"
+# matches 2-D POINTs and the 2-D projection of POINT Z / M / ZM
+_POINT_NUM = r"POINT\s*(?:ZM|Z|M)?\s*\(\s*(-?[\d.eE+-]+)\s+(-?[\d.eE+-]+)(?:\s+-?[\d.eE+-]+){0,2}\s*\)"
 
 
 def _parse_cache(wkts: pd.Series) -> dict[str, tuple]:

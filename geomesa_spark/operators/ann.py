@@ -1,6 +1,6 @@
 """Approximate nearest neighbors over embedding columns (driver mandate:
-similarity search with a brute-force baseline and an LSH-bucketed scale
-path).
+similarity search with a brute-force baseline and LSH / IVF bucketed
+scale paths).
 
 ``ann_lsh_topk``: random-hyperplane LSH (SimHash for cosine) — each
 vector gets an ``nbits``-bit signature from deterministic hyperplanes;
@@ -9,8 +9,18 @@ query become candidates; exact cosine re-ranks the top-k. At 100 TB the
 band join is an equi-join on (band, key) — shuffle-partitioned, no
 pairwise blowup — while brute force is O(n·q).
 
-Hyperplanes are counter-based-deterministic (synth.hash64 → Box-Muller),
-so results are reproducible across runs and cluster sizes.
+``ann_ivf_topk``: IVF (inverted-file) — a coarse k-means quantizer is
+trained on a deterministic hash-based sample (bounded driver collect,
+independent of table size), every vector is assigned its nearest
+centroid executor-side (one Arrow-batched matmul), and each query probes
+only its ``nprobe`` closest cells via a broadcast (qid, cluster) join.
+The cluster id doubles as a storage partitioning key at scale: writing
+the table bucketed by cluster turns every probe into a partition-pruned
+scan.
+
+Hyperplanes and sampling are counter-based-deterministic
+(synth.hash64 → Box-Muller), so results are reproducible across runs and
+cluster sizes.
 """
 
 from __future__ import annotations
@@ -99,6 +109,125 @@ def ann_lsh_topk(
         F.col(id_col).alias("qid"), F.col("de").alias("qe")
     )
     cand = cand_ids.join(e, id_col).join(F.broadcast(q_emb), "qid")
+    dot = lambda x, y: F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
+    scored = cand.withColumn(
+        "score",
+        F.round(dot(F.col("de"), F.col("qe")) / (F.sqrt(dot(F.col("de"), F.col("de"))) * F.sqrt(dot(F.col("qe"), F.col("qe")))), 6),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), id_col)
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("qid", id_col, "score", "rnk")
+        .orderBy("qid", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index: coarse k-means quantizer + probe join
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 32,
+    sample_max: int = 20_000,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """(n_centroids, dim) L2-normalized k-means centroids (spherical
+    k-means — the cosine-similarity quantizer), trained on a
+    deterministic hash-based sample. The collect is bounded by
+    ``sample_max`` regardless of table size; Lloyd iterations run as
+    vectorized numpy on the driver (centroid table is tiny and ships to
+    executors by closure broadcast)."""
+    n_total = embeddings.count()
+    frac_pm = min(1_000_000, int(1_000_000 * sample_max / max(1, n_total)))
+    sample = (
+        embeddings.select(id_col, emb_col)
+        .where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) < F.lit(frac_pm))
+        .limit(sample_max)
+        .toPandas()
+    )
+    m = np.stack(sample[emb_col].to_numpy()).astype(np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    k = min(n_centroids, len(m))
+    # deterministic init: spread over the hash-ordered sample
+    order = np.argsort(synth.hash64(sample[id_col].to_numpy(np.int64).astype(np.uint64)))
+    cent = m[order[np.linspace(0, len(m) - 1, k).astype(int)]].copy()
+    for _ in range(iters):
+        sims = m @ cent.T                      # (n, k) cosine (all normalized)
+        assign = sims.argmax(axis=1)
+        for c in range(k):
+            sel = m[assign == c]
+            if len(sel):
+                v = sel.sum(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def with_ivf_cluster(
+    df: DataFrame,
+    centroids: np.ndarray,
+    emb_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Assign each vector its nearest (max-cosine) centroid id — one
+    Arrow-batched matmul per batch, centroids broadcast by closure."""
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def assign(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series((m @ cent.T).argmax(axis=1).astype(np.int32))
+
+    return df.withColumn(out_col, assign(F.col(emb_col)))
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_centroids: int = 32,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors per query (query set = lowest n_queries
+    ids), candidates restricted to each query's ``nprobe`` nearest IVF
+    cells. Same output schema as ``ann_lsh_topk``: (qid, id, score, rnk).
+
+    Shuffle discipline mirrors the LSH path: the probe join runs on
+    (cluster) with the tiny (qid, cluster) side broadcast; embeddings
+    never shuffle — the data side is already carrying its vector, and
+    query vectors attach by broadcast."""
+    e = embeddings.select(id_col, F.col(emb_col).cast("array<double>").alias("de"))
+    cent = train_ivf_centroids(embeddings, n_centroids, id_col=id_col, emb_col=emb_col)
+    clustered = with_ivf_cluster(e, cent, "de")
+
+    q_pdf = e.where(F.col(id_col) < n_queries).toPandas()
+    qm = np.stack(q_pdf["de"].to_numpy()).astype(np.float64)
+    qm_n = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(qm_n @ cent.T), axis=1)[:, : min(nprobe, len(cent))]
+    spark = embeddings.sparkSession
+    probe_pdf = pd.DataFrame(
+        {
+            "qid": np.repeat(q_pdf[id_col].to_numpy(), probe.shape[1]),
+            "cluster": probe.ravel().astype(np.int32),
+        }
+    )
+    probes = F.broadcast(spark.createDataFrame(probe_pdf))
+    q_emb = spark.createDataFrame(q_pdf.rename(columns={id_col: "qid", "de": "qe"}))
+
+    cand = (
+        clustered.join(probes, "cluster")
+        .where(F.col(id_col) != F.col("qid"))
+        .join(F.broadcast(q_emb), "qid")
+    )
     dot = lambda x, y: F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
     scored = cand.withColumn(
         "score",

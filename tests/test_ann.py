@@ -46,3 +46,29 @@ def test_ann_lsh_empty_input(spark):
     assert banded.count() == 0
     out = ann_lsh_topk(e)
     assert out.count() == 0
+
+
+def test_ann_ivf_recall_vs_brute(spark):
+    """IVF probe join: recall vs brute at nprobe=4/16 cells well above
+    chance; scores of returned pairs bit-match the brute scores."""
+    qs = entry_mod.queries()
+    brute = qs["ann_cosine_topk"](spark, SF_DIR).toPandas()
+    ivf = qs["ann_ivf_topk"](spark, SF_DIR).toPandas()
+    assert set(ivf.columns) == {"qid", "vec_id", "score", "rnk"}
+    recalls = []
+    for qid in brute["qid"].unique():
+        b = set(brute[brute["qid"] == qid]["vec_id"])
+        i = set(ivf[ivf["qid"] == qid]["vec_id"])
+        recalls.append(len(b & i) / len(b))
+    assert np.mean(recalls) >= 0.4, recalls
+    m = ivf.merge(brute, on=["qid", "vec_id"], suffixes=("_i", "_b"))
+    assert (m["score_i"] == m["score_b"]).all()
+
+
+def test_ann_ivf_deterministic(spark):
+    """Same input → identical centroids and identical result rows
+    (hash-based sampling + deterministic init, no RNG state)."""
+    qs = entry_mod.queries()
+    a = qs["ann_ivf_topk"](spark, SF_DIR).toPandas()
+    b = qs["ann_ivf_topk"](spark, SF_DIR).toPandas()
+    assert a.equals(b)
