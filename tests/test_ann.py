@@ -72,3 +72,29 @@ def test_ann_ivf_deterministic(spark):
     a = qs["ann_ivf_topk"](spark, SF_DIR).toPandas()
     b = qs["ann_ivf_topk"](spark, SF_DIR).toPandas()
     assert a.equals(b)
+
+
+def test_ann_ivf_cluster_partition_pruning(spark, tmp_path):
+    """The 100-TB claim behind IVF: writing the vector table partitioned
+    by cluster id turns each probe into a partition-pruned scan. Write
+    sf0.001 embeddings partitionBy(cluster), read back with a cluster
+    filter, and assert Spark only touches the probed partitions' files."""
+    from geomesa_spark.operators.ann import train_ivf_centroids, with_ivf_cluster
+
+    e = (
+        spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("de"))
+    )
+    cent = train_ivf_centroids(e, n_centroids=8, id_col="vec_id", emb_col="de")
+    out = str(tmp_path / "ivf_table")
+    with_ivf_cluster(e, cent, "de").write.partitionBy("cluster").parquet(out)
+
+    table = spark.read.parquet(out)
+    probed = table.where(F.col("cluster").isin([0, 3]))
+    # the cluster predicate must reach the scan as a PARTITION filter
+    # (directory pruning), not a post-scan row filter
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters")[1][:200], plan[:2000]
+    # and semantics hold: probe rows == the two clusters' rows
+    per_cluster = {r["cluster"]: r["n"] for r in table.groupBy("cluster").count().withColumnRenamed("count", "n").collect()}
+    assert probed.count() == per_cluster.get(0, 0) + per_cluster.get(3, 0) > 0
