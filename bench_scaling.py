@@ -134,6 +134,15 @@ def main() -> None:
     eff_8_32 = (thr_32 / thr_4n) / 4
 
     os.makedirs("BENCH", exist_ok=True)
+    # manual analysis sections (below the marker) survive regeneration
+    marker = "<!-- manual sections below: preserved across bench_scaling.py rewrites -->"
+    preserved = ""
+    try:
+        old = open("BENCH/BASELINE.md").read()
+        if marker in old:
+            preserved = "\n" + old[old.index(marker):]
+    except FileNotFoundError:
+        pass
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             f"""# BENCH/BASELINE.md — measured scaling evidence
@@ -194,7 +203,7 @@ cores. The engine reaches the same ceiling the raw kernel does.
    JVM garbage.
 
 Raw JSON: `{json.dumps(results)}`
-"""
+{preserved}"""
         )
     print(json.dumps({"efficiency": round(eff, 3), "efficiency_8_32": round(eff_8_32, 3), "results": results}))
 

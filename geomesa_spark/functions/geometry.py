@@ -957,14 +957,17 @@ def pred_overlaps(r: Relate) -> bool:
 
 
 def pred_crosses(r: Relate) -> bool:
-    if r.dim_a == r.dim_b == 1:  # line x line: point intersection of interiors
+    if r.dim_a == r.dim_b == 1:  # line x line: 0-dim intersection of interiors
+        if r.matrix is not None:  # exact: II cell is a point, not a shared piece
+            return r.matrix[0] == "0"
         return bool(r.proper_cross and not r.bb_dim1)
     if r.dim_a == r.dim_b:
         return False  # polygon x polygon / point x point never cross
-    lo, hi = sorted((r.dim_a, r.dim_b))
-    if lo == 0:  # point vs line/polygon: crosses is false (point can't exit)
-        return False
-    # line vs polygon: interior split — some interior in, some out
+    # mixed dims (point-set vs line/polygon, line vs polygon): the
+    # lower-dim geometry's interior must hit the other's interior AND its
+    # exterior (JTS T*T****** / covered-by-closure complement). A single
+    # POINT can never satisfy both; a MULTIPOINT with members inside and
+    # outside does.
     return bool(r.ii and not r.a_covers_b and not r.b_covers_a)
 
 

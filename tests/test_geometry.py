@@ -135,3 +135,29 @@ def test_buffer_point_contains_center_near_radius():
     assert geo.points_in_polygon(np.array([10.0]), np.array([45.0]), ring, off)[0]
     d = geo.haversine_m(10.0, 45.0, ring[:, 0], ring[:, 1])
     assert np.all((d > 900.0) & (d < 1100.0))
+
+
+def test_crosses_exact_jts_semantics():
+    """JTS crosses = dim(I(a) ∩ I(b)) is a point (lines) / lower-dim
+    geometry splits interior-and-exterior (mixed dims). Round-3 fix:
+    vertex-touch crossings (no transversal edge pair) and MULTIPOINT
+    splits now classify correctly."""
+    def R(a, b):
+        return geo.relate_geoms(*geo.parse_wkt(a), *geo.parse_wkt(b))
+
+    # interior-vertex contact between line interiors: crosses, not touches
+    r = R("LINESTRING (0 0, 2 2)", "LINESTRING (0 2, 1 1, 2 0)")
+    assert geo.de9im(r) == "0F1FF0102"
+    assert geo.pred_crosses(r) and not geo.pred_touches(r)
+    # a multipoint with members inside and outside a polygon crosses it
+    r = R("MULTIPOINT ((1 1), (20 20))", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert geo.pred_crosses(r)
+    # inside + on-boundary is NOT crosses (I(a)∩E(b) is empty)
+    r = R("MULTIPOINT ((1 1), (0 5))", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert not geo.pred_crosses(r)
+    # a single point can never cross
+    r = R("POINT (1 1)", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert not geo.pred_crosses(r)
+    # collinear overlap is overlaps, not crosses
+    r = R("LINESTRING (0 0, 10 0)", "LINESTRING (5 0, 15 0)")
+    assert geo.pred_overlaps(r) and not geo.pred_crosses(r)
