@@ -174,18 +174,28 @@ def with_ivf_cluster(
     out_col: str = "cluster",
 ) -> DataFrame:
     """Assign each vector its nearest (max-cosine) centroid id — one
-    Arrow-batched matmul per batch, centroids broadcast by closure."""
+    Arrow-batched matmul per batch, centroids broadcast by closure.
+
+    mapInPandas, not a pandas_udf expression: when the cluster id feeds a
+    join key, Catalyst wraps the key in isnotnull and DUPLICATES an
+    expression-UDF to evaluate the filter — two Arrow passes over every
+    embedding. A mapInPandas stage is opaque to that rewrite, so the
+    matmul runs exactly once (plan audited in PLANS.md)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    schema = StructType(list(df.schema.fields) + [StructField(out_col, IntegerType())])
 
-    @F.pandas_udf("int")
-    def assign(emb: pd.Series) -> pd.Series:
-        if len(emb) == 0:
-            return pd.Series([], dtype="int32")
-        m = np.stack(emb.to_numpy()).astype(np.float64)
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        return pd.Series((m @ cent.T).argmax(axis=1).astype(np.int32))
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(**{out_col: np.array([], dtype=np.int32)})
+                continue
+            m = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            yield pdf.assign(**{out_col: (m @ cent.T).argmax(axis=1).astype(np.int32)})
 
-    return df.withColumn(out_col, assign(F.col(emb_col)))
+    return df.mapInPandas(gen, schema)
 
 
 def ann_ivf_topk(
