@@ -181,6 +181,23 @@ def polygon_area_deg2(coords: np.ndarray, ring_offsets: np.ndarray) -> float:
     return total
 
 
+def line_centroid(coords: np.ndarray, ring_offsets: np.ndarray) -> tuple[float, float]:
+    """Length-weighted centroid of a (multi)linestring (JTS semantics:
+    each segment's midpoint weighted by its length)."""
+    wx = wy = wtot = 0.0
+    for r in range(len(ring_offsets) - 1):
+        run = coords[ring_offsets[r]:ring_offsets[r + 1]]
+        seg = run[1:] - run[:-1]
+        ln = np.hypot(seg[:, 0], seg[:, 1])
+        mid = (run[1:] + run[:-1]) / 2.0
+        wx += float((mid[:, 0] * ln).sum())
+        wy += float((mid[:, 1] * ln).sum())
+        wtot += float(ln.sum())
+    if wtot == 0.0:
+        return float(coords[:, 0].mean()), float(coords[:, 1].mean())
+    return wx / wtot, wy / wtot
+
+
 def polygon_centroid(coords: np.ndarray, ring_offsets: np.ndarray) -> tuple[float, float]:
     """Area-weighted centroid (shoelace), holes subtract via signed area."""
     a_total, cx, cy = 0.0, 0.0, 0.0

@@ -282,6 +282,22 @@ def st_centroid(wkt: pd.Series) -> pd.Series:
     def cen(kind, coords, offs):
         if kind == "POLYGON":
             x, y = geo.polygon_centroid(coords, offs)
+        elif kind == "MULTIPOLYGON":
+            # |area|-weighted mean of member centroids (JTS semantics;
+            # member rings may carry arbitrary orientations, so signed
+            # shoelace terms across independent shells must not cancel)
+            wx = wy = wtot = 0.0
+            for _k2, c2, o2 in geo.geom_parts(kind, coords, offs):
+                a = abs(geo.polygon_area_deg2(c2, o2))
+                cx, cy = geo.polygon_centroid(c2, o2)
+                wx, wy, wtot = wx + cx * a, wy + cy * a, wtot + a
+            if wtot > 0:
+                x, y = wx / wtot, wy / wtot
+            else:
+                c = _flat_coords(kind, coords)
+                x, y = float(c[:, 0].mean()), float(c[:, 1].mean())
+        elif kind in ("LINESTRING", "MULTILINESTRING"):
+            x, y = geo.line_centroid(coords, offs)
         else:
             c = _flat_coords(kind, coords)
             x, y = float(c[:, 0].mean()), float(c[:, 1].mean())

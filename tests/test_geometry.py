@@ -161,3 +161,21 @@ def test_crosses_exact_jts_semantics():
     # collinear overlap is overlaps, not crosses
     r = R("LINESTRING (0 0, 10 0)", "LINESTRING (5 0, 15 0)")
     assert geo.pred_overlaps(r) and not geo.pred_crosses(r)
+
+
+def test_line_centroid_length_weighted():
+    """JTS centroid of a line is length-weighted, not vertex-mean: a
+    polyline with many vertices bunched at one end must not drag the
+    centroid toward them."""
+    # L-shape (0,0)->(10,0)->(10,10): segment midpoints (5,0) & (10,5), equal lengths
+    k, c, o = geo.parse_wkt("LINESTRING (0 0, 10 0, 10 10)")
+    x, y = geo.line_centroid(c, o)
+    assert (x, y) == (7.5, 2.5)
+    # vertex-dense tail must not shift the result
+    k, c, o = geo.parse_wkt("LINESTRING (0 0, 1 0, 2 0, 3 0, 4 0, 10 0)")
+    x, y = geo.line_centroid(c, o)
+    assert abs(x - 5.0) < 1e-12 and y == 0.0
+    # multilinestring: two equal-length parts average their midpoints
+    k, c, o = geo.parse_wkt("MULTILINESTRING ((0 0, 10 0), (0 10, 10 10))")
+    x, y = geo.line_centroid(c, o)
+    assert (x, y) == (5.0, 5.0)
