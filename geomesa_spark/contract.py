@@ -303,6 +303,88 @@ def q_pip_count_auto(spark, sf_dir):
     return j.groupBy("polygon_id").agg(F.count(F.lit(1)).alias("n")).orderBy("polygon_id")
 
 
+def _mp_oracle() -> str:
+    """Oracle for multipoint_relations: per-user point sets near polygon 0
+    (an integer-coordinate box), predicates derived from per-point parity
+    PIP counts. Points with integer lon or lat are excluded on BOTH sides
+    (identical modular filter), so no point can sit exactly on the box's
+    boundary and strict-interior (engine) vs parity (oracle) agree."""
+    from geomesa_spark.functions import geometry as _geo
+
+    p0 = synth.polygons()[0]
+    x0, y0, x1, y1 = _geo.polygon_bbox(p0.coords)
+    mx, my = (x1 - x0), (y1 - y0)
+    box = (
+        f"lon between {_f(x0 - mx)} and {_f(x1 + mx)} "
+        f"and lat between {_f(y0 - my)} and {_f(y1 + my)} "
+        "and (pid * 9973) % 1000 <> 0 and ((pid * 7919) + 12345) % 1000 <> 0"
+    )
+    return (
+        f"with pts as (select * from ({POINTS_SQL}) where {box}), "
+        f"{_edges_cte()}, {PIP_MATCH_CTE} "
+        "select u.user_id, cast(u.n as bigint) n_points, "
+        "cast(coalesce(i.k, 0) = u.n as boolean) within_flag, "
+        "cast(coalesce(i.k, 0) > 0 as boolean) intersects_flag, "
+        "cast(coalesce(i.k, 0) > 0 and coalesce(i.k, 0) < u.n as boolean) crosses_flag "
+        "from (select user_id, count(*) n from pts group by user_id) u "
+        "left join (select p.user_id, count(*) k from pts p "
+        "join pip on pip.pid = p.pid and pip.polygon_id = 0 group by p.user_id) i "
+        "using (user_id) order by user_id"
+    )
+
+
+@_q("multipoint_relations", _mp_oracle())
+def q_multipoint_relations(spark, sf_dir):
+    """MULTIPOINT relation predicates, driver-checked (round 3): each
+    user's points near polygon 0 assemble into a MULTIPOINT WKT column;
+    st_within / st_intersects / st_crosses run through the point-set
+    relate branch. The oracle recomputes all three from per-point parity
+    PIP counts (within = all in, intersects = any, crosses = some-but-
+    not-all — exact because boundary-coincident points are filtered out
+    identically on both sides)."""
+    from geomesa_spark.functions import geometry as geo_mod
+    from geomesa_spark.functions import st_functions as ST
+
+    p0 = synth.polygons()[0]
+    x0, y0, x1, y1 = geo_mod.polygon_bbox(p0.coords)
+    mx, my = (x1 - x0), (y1 - y0)
+    poly_wkt = geo_mod.wkt_polygon_exact(p0.coords, p0.ring_offsets)
+    pts = events_points(spark, sf_dir).where(
+        F.col("lon").between(x0 - mx, x1 + mx)
+        & F.col("lat").between(y0 - my, y1 + my)
+        & ((F.col("pid") * 9973) % 1000 != 0)
+        & (((F.col("pid") * 7919) + 12345) % 1000 != 0)
+    )
+    mp = (
+        pts.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("lon", "lat"))).alias("ps"))
+        .withColumn(
+            "mp",
+            F.concat(
+                F.lit("MULTIPOINT ("),
+                F.concat_ws(
+                    ", ",
+                    F.transform(
+                        "ps",
+                        lambda s: F.concat(
+                            F.lit("("), s["lon"].cast("string"), F.lit(" "), s["lat"].cast("string"), F.lit(")")
+                        ),
+                    ),
+                ),
+                F.lit(")"),
+            ),
+        )
+    )
+    lit_poly = F.lit(poly_wkt)
+    return mp.select(
+        "user_id",
+        F.size("ps").cast("long").alias("n_points"),
+        ST.st_within(F.col("mp"), lit_poly).alias("within_flag"),
+        ST.st_intersects(F.col("mp"), lit_poly).alias("intersects_flag"),
+        ST.st_crosses(F.col("mp"), lit_poly).alias("crosses_flag"),
+    ).orderBy("user_id")
+
+
 @_q(
     "pip_semi",
     _pip_oracle("select distinct pid from pip order by pid"),
