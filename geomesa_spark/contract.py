@@ -385,6 +385,104 @@ def q_multipoint_relations(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def _line_poly_oracle() -> str:
+    """Oracle for line_poly_relations: each user's pid-ordered polyline vs
+    polygon 0 (an axis-aligned integer box). Segment-box intersection is
+    exact in SQL for a box: bbox overlap AND the four box corners not all
+    strictly on one side of the segment's line. Convexity gives the rest:
+    within = every vertex strictly inside; a part lies outside iff some
+    vertex is strictly outside. The shared modular filter removes
+    integer-lon/lat points, and a pytest guard certifies no segment is
+    exactly collinear with a box corner at any test SF — the one
+    degeneracy where graze-without-entry could diverge."""
+    from geomesa_spark.functions import geometry as _geo
+
+    p0 = synth.polygons()[0]
+    x0, y0, x1, y1 = (_f(v) for v in _geo.polygon_bbox(p0.coords))
+    bx0, by0, bx1, by1 = _geo.polygon_bbox(p0.coords)
+    mx, my = 0.3 * (bx1 - bx0), 0.3 * (by1 - by0)  # tight margin: keeps within_flag non-vacuous
+    box = (
+        f"lon between {_f(bx0 - mx)} and {_f(bx1 + mx)} "
+        f"and lat between {_f(by0 - my)} and {_f(by1 + my)} "
+        "and (pid * 9973) % 1000 <> 0 and ((pid * 7919) + 12345) % 1000 <> 0"
+    )
+    return (
+        f"with pts as (select * from ({POINTS_SQL}) where {box}), "
+        "segs as (select user_id, lon x1, lat y1, "
+        "lead(lon) over (partition by user_id order by pid) x2, "
+        "lead(lat) over (partition by user_id order by pid) y2 from pts), "
+        "si as (select user_id, "
+        f"(greatest(x1,x2) >= {x0} and least(x1,x2) <= {x1} "
+        f" and greatest(y1,y2) >= {y0} and least(y1,y2) <= {y1}) bb, "
+        f"(x2-x1)*({y0}-y1)-(y2-y1)*({x0}-x1) d1, "
+        f"(x2-x1)*({y0}-y1)-(y2-y1)*({x1}-x1) d2, "
+        f"(x2-x1)*({y1}-y1)-(y2-y1)*({x1}-x1) d3, "
+        f"(x2-x1)*({y1}-y1)-(y2-y1)*({x0}-x1) d4 "
+        "from segs where x2 is not null), "
+        "hits as (select user_id, bool_or(bb and not ((d1>0 and d2>0 and d3>0 and d4>0) "
+        "or (d1<0 and d2<0 and d3<0 and d4<0))) anyhit from si group by user_id), "
+        "agg as (select user_id, count(*) n, "
+        f"bool_and(lon > {x0} and lon < {x1} and lat > {y0} and lat < {y1}) all_in, "
+        f"bool_or(lon < {x0} or lon > {x1} or lat < {y0} or lat > {y1}) any_out "
+        "from pts group by user_id having count(*) >= 2) "
+        "select a.user_id, cast(a.n as bigint) n_points, "
+        "cast(a.all_in as boolean) within_flag, "
+        "cast(coalesce(h.anyhit, false) as boolean) intersects_flag, "
+        "cast(coalesce(h.anyhit, false) and a.any_out as boolean) crosses_flag "
+        "from agg a left join hits h using (user_id) order by a.user_id"
+    )
+
+
+@_q("line_poly_relations", _line_poly_oracle())
+def q_line_poly_relations(spark, sf_dir):
+    """LINE×POLYGON relation predicates, driver-checked (round 3): each
+    user's pid-ordered points near polygon 0 become a LINESTRING WKT;
+    st_within / st_intersects / st_crosses exercise the line-polygon
+    relate branch (proper-crossing detection included — a straight
+    pass-through with no vertex inside still intersects/crosses). The
+    DuckDB oracle recomputes all three from exact segment-box geometry."""
+    from geomesa_spark.functions import geometry as geo_mod
+    from geomesa_spark.functions import st_functions as ST
+
+    p0 = synth.polygons()[0]
+    x0, y0, x1, y1 = geo_mod.polygon_bbox(p0.coords)
+    mx, my = 0.3 * (x1 - x0), 0.3 * (y1 - y0)
+    poly_wkt = geo_mod.wkt_polygon_exact(p0.coords, p0.ring_offsets)
+    pts = events_points(spark, sf_dir).where(
+        F.col("lon").between(x0 - mx, x1 + mx)
+        & F.col("lat").between(y0 - my, y1 + my)
+        & ((F.col("pid") * 9973) % 1000 != 0)
+        & (((F.col("pid") * 7919) + 12345) % 1000 != 0)
+    )
+    line = (
+        pts.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pid", "lon", "lat"))).alias("ps"))
+        .where(F.size("ps") >= 2)
+        .withColumn(
+            "ls",
+            F.concat(
+                F.lit("LINESTRING ("),
+                F.concat_ws(
+                    ", ",
+                    F.transform(
+                        "ps",
+                        lambda s: F.concat(s["lon"].cast("string"), F.lit(" "), s["lat"].cast("string")),
+                    ),
+                ),
+                F.lit(")"),
+            ),
+        )
+    )
+    lit_poly = F.lit(poly_wkt)
+    return line.select(
+        "user_id",
+        F.size("ps").cast("long").alias("n_points"),
+        ST.st_within(F.col("ls"), lit_poly).alias("within_flag"),
+        ST.st_intersects(F.col("ls"), lit_poly).alias("intersects_flag"),
+        ST.st_crosses(F.col("ls"), lit_poly).alias("crosses_flag"),
+    ).orderBy("user_id")
+
+
 @_q(
     "pip_semi",
     _pip_oracle("select distinct pid from pip order by pid"),

@@ -78,3 +78,45 @@ def test_entry_runs(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert {"polygon_id", "n_mentions", "n_pages"} <= set(df.columns)
+
+
+def test_line_poly_oracle_no_corner_degeneracy():
+    """Guard for line_poly_relations: no filtered segment may be exactly
+    collinear with a corner of polygon 0 at any test SF — the single
+    geometric degeneracy (graze-without-entry) where the engine's exact
+    kernel and the SQL segment-box oracle could disagree. Data is
+    deterministic, so green here certifies the pairing forever."""
+    import duckdb
+
+    from geomesa_spark.functions import geometry as geo
+    from geomesa_spark.sources import synth
+
+    p0 = synth.polygons()[0]
+    x0, y0, x1, y1 = geo.polygon_bbox(p0.coords)
+    mx, my = 0.3 * (x1 - x0), 0.3 * (y1 - y0)
+    for sf in ("0.001", "0.01", "0.1"):
+        con = duckdb.connect()
+        con.sql(f"create view events as select * from read_parquet('/root/testdata/sf{sf}/events.parquet')")
+        pts = con.sql(
+            "select user_id, event_id pid,"
+            " ((event_id * 9973) % 360000) / 1000.0 - 180.0 lon,"
+            " (((event_id * 7919) + 12345) % 170000) / 1000.0 - 85.0 lat from events"
+        ).df()
+        m = (
+            (pts.lon >= x0 - mx) & (pts.lon <= x1 + mx)
+            & (pts.lat >= y0 - my) & (pts.lat <= y1 + my)
+            & ((pts.pid * 9973) % 1000 != 0)
+            & (((pts.pid * 7919) + 12345) % 1000 != 0)
+        )
+        sub = pts[m].sort_values(["user_id", "pid"])
+        # no integer lon/lat survives the modular filter (boundary-safe)
+        assert not (sub.lon == sub.lon.round()).any()
+        assert not (sub.lat == sub.lat.round()).any()
+        for _uid, g in sub.groupby("user_id"):
+            if len(g) < 2:
+                continue
+            a = g[["lon", "lat"]].to_numpy()
+            s1, s2 = a[:-1], a[1:]
+            for cx, cy in [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]:
+                d = (s2[:, 0] - s1[:, 0]) * (cy - s1[:, 1]) - (s2[:, 1] - s1[:, 1]) * (cx - s1[:, 0])
+                assert (d != 0.0).all(), (sf, cx, cy)
