@@ -1,0 +1,177 @@
+"""Incremental n-gram MinHash-LSH dedup index (SURVEY.md §8.10 scale
+path; driver mandate: dedup that survives corpus growth).
+
+The one-shot queries in :mod:`geomesa_spark.contract`
+(``ngram_minhash_dedup``) dedupe a corpus against itself. At 100 TB the
+real workload is INCREMENTAL: a new crawl batch must dedupe against
+everything already ingested without re-shingling the whole corpus. This
+module stores the per-document LSH band keys and exact gram sets as a
+persistent index; each new batch
+
+  1. shingles/hashes only its own documents (same constants and
+     expressions as the one-shot query — char-3 grams, int64 md5 gram
+     identity, 16-min wide MinHash aggregation, 4×4 banded keys),
+  2. equi-joins its band keys against (stored ∪ new) band keys — bucket
+     sizes computed over the union, capped like the one-shot path,
+  3. exact-verifies candidates with ``array_intersect`` over gram-set
+     arrays (stored sets read by doc-id join, never re-derived),
+  4. appends its own bands + gram sets to the index.
+
+When no bucket ever exceeds the cap, the union of per-batch outputs is
+EXACTLY the one-shot output over the full corpus (twin-equality test in
+tests/test_dedup_incremental.py). Buckets that grow past the cap stop
+generating new candidates — the same bounded-work guarantee the
+one-shot path makes, applied cumulatively.
+
+Index layout (plain parquet, manifest-friendly):
+  <root>/bands/   (doc_id long, band int, bsig string)
+  <root>/gsets/   (doc_id long, gset array<long>)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+BANDS_SCHEMA = "doc_id long, band int, bsig string"
+GSETS_SCHEMA = "doc_id long, gset array<long>"
+
+
+def _c():
+    # lazy: contract owns the shared MinHash constants (oracle-pinned)
+    from geomesa_spark import contract
+
+    return contract
+
+
+def gram_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, g): distinct char-3-gram int64 identities per document —
+    row-local array_distinct, md5-derived 60-bit keys (same expressions
+    as the one-shot oracle query)."""
+    gram_arr = (
+        f"array_distinct(filter(transform(sequence(1, greatest(length({text_col}), 1)), "
+        f"i -> substring({text_col}, i, 3)), x -> length(x) = 3))"
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), F.explode(F.expr(gram_arr)).alias("gs")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("gs").cast("binary")), 1, 15), 16, 10).cast("long").alias("g"),
+    )
+
+
+def band_table(grams: DataFrame) -> DataFrame:
+    """(doc_id, band, bsig): 4×4 banded MinHash keys from a gram table —
+    ONE wide 16-min aggregation, then a row-local band explode."""
+    C = _c()
+    gh = grams.withColumn("h", F.col("g") % C.MINHASH_P)
+    mins = [
+        F.min((F.lit(int(C.MINHASH_A[i])) * F.col("h") + F.lit(int(C.MINHASH_B[i]))) % C.MINHASH_P).alias(f"m{i}")
+        for i in range(C.MINHASH_N)
+    ]
+    sig = gh.groupBy("doc_id").agg(*mins)
+    n_bands = C.MINHASH_N // C.MINHASH_BAND_ROWS
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).cast("int").alias("band"),
+                    F.concat_ws(
+                        ",", *[F.col(f"m{C.MINHASH_BAND_ROWS*b + j}") for j in range(C.MINHASH_BAND_ROWS)]
+                    ).alias("bsig"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
+
+
+def gram_sets(grams: DataFrame) -> DataFrame:
+    return grams.groupBy("doc_id").agg(F.collect_set("g").alias("gset"))
+
+
+def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
+    if os.path.exists(path):
+        return spark.read.schema(schema).parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+def dedupe_and_append(
+    new_docs: DataFrame,
+    index_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float | None = None,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Dedupe a new batch against the stored index ∪ itself, then append
+    the batch to the index. Returns the verified near-dup pairs
+    (da, db, jac) with da < db and AT LEAST ONE side in the new batch —
+    pairs wholly inside earlier batches were emitted by earlier calls.
+
+    The returned DataFrame is materialized (the index append would
+    otherwise race its own lineage)."""
+    C = _c()
+    spark = new_docs.sparkSession
+    threshold = C.NGRAM_JACCARD_THRESHOLD if threshold is None else threshold
+    bucket_cap = C.MINHASH_BUCKET_CAP if bucket_cap is None else bucket_cap
+    bands_path = os.path.join(index_root, "bands")
+    gsets_path = os.path.join(index_root, "gsets")
+
+    grams = gram_table(new_docs, id_col, text_col).persist()
+    new_bands = band_table(grams).persist()
+    new_sets = gram_sets(grams)
+
+    stored_bands = _read_or_empty(spark, bands_path, BANDS_SCHEMA)
+    all_bands = stored_bands.unionByName(new_bands)
+    # bucket sizes over the FULL (stored ∪ new) population — identical
+    # cap semantics to the one-shot path over the union corpus
+    w = Window.partitionBy("band", "bsig")
+    sized = all_bands.withColumn("bn", F.count(F.lit(1)).over(w)).where(F.col("bn") <= bucket_cap)
+    new_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
+    sized_new = sized.join(F.broadcast(new_ids), "doc_id", "left_semi")
+    a, b = sized.alias("a"), sized_new.alias("b")
+    # candidate pairs where the NEW side participates; (a<b) dedupes the
+    # symmetric new×new matches, and old×old pairs never form because one
+    # side is always new
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("da"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("db"),
+        )
+        .distinct()
+    )
+    stored_sets = _read_or_empty(spark, gsets_path, GSETS_SCHEMA)
+    all_sets = stored_sets.unionByName(new_sets)
+    sa = all_sets.select(F.col("doc_id").alias("da"), F.col("gset").alias("ga_set"))
+    sb = all_sets.select(F.col("doc_id").alias("db"), F.col("gset").alias("gb_set"))
+    inter = F.size(F.array_intersect("ga_set", "gb_set"))
+    jac = inter.cast("double") / (F.size("ga_set") + F.size("gb_set") - inter)
+    pairs = (
+        cand.join(sa, "da")
+        .join(sb, "db")
+        .withColumn("jac", jac)
+        .where(F.col("jac") >= threshold)
+        .select("da", "db", "jac")
+        .localCheckpoint(eager=True)  # sever lineage from the pre-append index state
+    )
+    new_bands.write.mode("append").parquet(bands_path)
+    new_sets.write.mode("append").parquet(gsets_path)
+    new_bands.unpersist()
+    grams.unpersist()
+    return pairs
+
+
+def max_bucket_size(spark, index_root: str) -> int:
+    """Largest (band, bsig) bucket in the stored index — the cap-margin
+    diagnostic (when max < cap, incremental output provably equals the
+    one-shot output over the accumulated corpus)."""
+    bands = _read_or_empty(spark, os.path.join(index_root, "bands"), BANDS_SCHEMA)
+    row = bands.groupBy("band", "bsig").count().agg(F.max("count").alias("m")).first()
+    return int(row["m"]) if row and row["m"] is not None else 0
