@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     # round 3 additions
     "pip_count_auto",
     "ann_ivf_topk",
+    "dedup_incremental",
 ]
 
 

@@ -26,6 +26,10 @@ one-shot path makes, applied cumulatively.
 Index layout (plain parquet, manifest-friendly):
   <root>/bands/   (doc_id long, band int, bsig string)
   <root>/gsets/   (doc_id long, gset array<long>)
+Appends land as loose files at the component root; calls with
+``partition=`` (the streaming mode — see streaming.live.stream_dedupe)
+land in per-batch subdirs written with overwrite, which makes replays
+idempotent. Reads always cover both layouts.
 """
 
 from __future__ import annotations
@@ -90,10 +94,23 @@ def gram_sets(grams: DataFrame) -> DataFrame:
     return grams.groupBy("doc_id").agg(F.collect_set("g").alias("gset"))
 
 
-def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
-    if os.path.exists(path):
-        return spark.read.schema(schema).parquet(path)
-    return spark.createDataFrame([], schema)
+def _read_or_empty(spark, path: str, schema: str, exclude: str | None = None) -> DataFrame:
+    """Read an index component dir (loose root files from append-mode
+    calls plus per-batch subdirs from partitioned calls). ``exclude``
+    drops one subdir — a replayed streaming batch must not see its own
+    partial prior write in the "stored" population."""
+    if not os.path.exists(path):
+        return spark.createDataFrame([], schema)
+    entries = []
+    for e in sorted(os.listdir(path)):
+        full = os.path.join(path, e)
+        if e == exclude:
+            continue
+        if os.path.isdir(full) or e.endswith(".parquet"):
+            entries.append(full)
+    if not entries:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*entries)
 
 
 def dedupe_and_append(
@@ -103,11 +120,18 @@ def dedupe_and_append(
     text_col: str = "text",
     threshold: float | None = None,
     bucket_cap: int | None = None,
+    partition: str | None = None,
 ) -> DataFrame:
     """Dedupe a new batch against the stored index ∪ itself, then append
     the batch to the index. Returns the verified near-dup pairs
     (da, db, jac) with da < db and AT LEAST ONE side in the new batch —
     pairs wholly inside earlier batches were emitted by earlier calls.
+
+    ``partition`` names a per-batch subdir for the index writes and makes
+    the call IDEMPOTENT (streaming replay safety): the batch's own subdir
+    is excluded from the stored-index read and both writes are
+    mode=overwrite, so re-running the same batch — even over a partial
+    crashed write — reproduces identical state and output.
 
     The returned DataFrame is materialized (the index append would
     otherwise race its own lineage)."""
@@ -122,7 +146,7 @@ def dedupe_and_append(
     new_bands = band_table(grams).persist()
     new_sets = gram_sets(grams)
 
-    stored_bands = _read_or_empty(spark, bands_path, BANDS_SCHEMA)
+    stored_bands = _read_or_empty(spark, bands_path, BANDS_SCHEMA, exclude=partition)
     all_bands = stored_bands.unionByName(new_bands)
     # bucket sizes over the FULL (stored ∪ new) population — identical
     # cap semantics to the one-shot path over the union corpus
@@ -147,7 +171,7 @@ def dedupe_and_append(
         )
         .distinct()
     )
-    stored_sets = _read_or_empty(spark, gsets_path, GSETS_SCHEMA)
+    stored_sets = _read_or_empty(spark, gsets_path, GSETS_SCHEMA, exclude=partition)
     all_sets = stored_sets.unionByName(new_sets)
     sa = all_sets.select(F.col("doc_id").alias("da"), F.col("gset").alias("ga_set"))
     sb = all_sets.select(F.col("doc_id").alias("db"), F.col("gset").alias("gb_set"))
@@ -161,8 +185,12 @@ def dedupe_and_append(
         .select("da", "db", "jac")
         .localCheckpoint(eager=True)  # sever lineage from the pre-append index state
     )
-    new_bands.write.mode("append").parquet(bands_path)
-    new_sets.write.mode("append").parquet(gsets_path)
+    if partition is not None:
+        new_bands.write.mode("overwrite").parquet(os.path.join(bands_path, partition))
+        new_sets.write.mode("overwrite").parquet(os.path.join(gsets_path, partition))
+    else:
+        new_bands.write.mode("append").parquet(bands_path)
+        new_sets.write.mode("append").parquet(gsets_path)
     new_bands.unpersist()
     grams.unpersist()
     return pairs

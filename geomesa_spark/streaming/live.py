@@ -16,6 +16,10 @@ Streaming we keep those semantics and gain event-time windows/watermarks:
                              micro-batch into the Iceberg-style manifest
                              (streaming ingest → indexed table, with the
                              same lineage/resume guarantees as batch)
+- ``stream_dedupe``        — ``foreachBatch`` near-dup detection: each
+                             micro-batch dedupes against the accumulated
+                             MinHash-LSH index (operators/dedup.py),
+                             replay-idempotent via per-batch overwrite
 
 Every transformation here is also valid on batch DataFrames — the same
 operator registry serves both (the reference's CQL-filter-on-stream
@@ -343,4 +347,50 @@ def streaming_pip_counts(
         matched.groupBy(F.window(ts_col, window).alias("win"), "polygon_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("win.start").alias("win_start"), "polygon_id", "n")
+    )
+
+
+def stream_dedupe(
+    stream_docs: DataFrame,
+    index_root: str,
+    pairs_root: str,
+    checkpoint_dir: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float | None = None,
+    bucket_cap: int | None = None,
+):
+    """Streaming near-dup detection: every micro-batch of documents
+    dedupes against the accumulated MinHash-LSH index
+    (operators/dedup.py) and writes its verified pairs to
+    ``pairs_root/batch-<id>/``. The batch twin is two (or N) direct
+    ``dedupe_and_append`` calls — twin-equality tested.
+
+    Replay-safe: the per-batch ``partition=`` mode excludes the batch's
+    own (possibly partial) prior write from the stored-index read and
+    overwrites both index components and the pairs dir, so a foreachBatch
+    replay after restart reproduces identical state — no marker files,
+    no double-append. Returns the StreamingQuery."""
+    from geomesa_spark.operators import dedup
+
+    checkpoint_dir = checkpoint_dir or os.path.join(index_root, "_stream_checkpoint")
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = f"batch-{batch_id}"
+        pairs = dedup.dedupe_and_append(
+            batch_df,
+            index_root,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+            bucket_cap=bucket_cap,
+            partition=part,
+        )
+        pairs.write.mode("overwrite").parquet(os.path.join(pairs_root, part))
+
+    return (
+        stream_docs.writeStream.foreachBatch(run_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
     )

@@ -77,3 +77,70 @@ def test_incremental_redelivery_of_duplicate_content(spark, tmp_path):
     p2 = dedup.dedupe_and_append(spark.createDataFrame(clone), root).toPandas()
     hit = p2[(p2["da"] == int(base["doc_id"][0])) & (p2["db"] == int(clone["doc_id"][0]))]
     assert len(hit) == 1 and float(hit["jac"].iloc[0]) == 1.0
+
+
+def test_stream_dedupe_twin_and_replay(spark, tmp_path):
+    """stream_dedupe over a 2-file feed == one-shot batch output (cap
+    unbound), and replaying a batch (foreachBatch restart semantics)
+    reproduces identical index state and pairs."""
+    import glob
+    import shutil
+    import time
+
+    from geomesa_spark.streaming import live
+
+    cap = 1_000_000
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .select(F.col("doc_id").cast("long"), "text")
+    )
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    # two feed files with forced mtime order -> two deterministic batches
+    for i, batch in enumerate([docs.where(F.col("doc_id") % 2 == 0), docs.where(F.col("doc_id") % 2 == 1)]):
+        stage = str(tmp_path / f"stage{i}")
+        batch.coalesce(1).write.parquet(stage)
+        src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = str(feed / f"f{i}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    idx_root = str(tmp_path / "sidx")
+    pairs_root = str(tmp_path / "spairs")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    q = live.stream_dedupe(stream, idx_root, pairs_root, bucket_cap=cap)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert dedup.max_bucket_size(spark, idx_root) < cap
+
+    batch_dirs = sorted(glob.glob(os.path.join(pairs_root, "batch-*")))
+    assert len(batch_dirs) == 2
+    got = (
+        pd.concat([spark.read.parquet(d).toPandas() for d in batch_dirs], ignore_index=True)
+        .drop_duplicates(["da", "db"])
+        .sort_values(["da", "db"])
+        .reset_index(drop=True)
+    )
+    want = _pairs_pdf(dedup.dedupe_and_append(docs, str(tmp_path / "idx_batch_twin"), bucket_cap=cap))
+    assert len(want) > 0
+    assert got[["da", "db"]].values.tolist() == want[["da", "db"]].values.tolist()
+    assert (got["jac"].to_numpy() == want["jac"].to_numpy()).all()
+
+    # replay batch 1: recover its doc set from the index subdir, re-run
+    # the same partitioned call, and require bit-identical pairs + index
+    replay_ids = spark.read.parquet(os.path.join(idx_root, "bands", "batch-1")).select("doc_id").distinct()
+    replay_docs = docs.join(replay_ids, "doc_id", "left_semi")
+    before_pairs = _pairs_pdf(spark.read.parquet(os.path.join(pairs_root, "batch-1")))
+    before_max = dedup.max_bucket_size(spark, idx_root)
+    replayed = _pairs_pdf(
+        dedup.dedupe_and_append(replay_docs, idx_root, bucket_cap=cap, partition="batch-1")
+    )
+    assert replayed[["da", "db"]].values.tolist() == before_pairs[["da", "db"]].values.tolist()
+    assert (replayed["jac"].to_numpy() == before_pairs["jac"].to_numpy()).all()
+    assert dedup.max_bucket_size(spark, idx_root) == before_max
