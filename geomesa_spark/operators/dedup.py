@@ -203,3 +203,37 @@ def max_bucket_size(spark, index_root: str) -> int:
     bands = _read_or_empty(spark, os.path.join(index_root, "bands"), BANDS_SCHEMA)
     row = bands.groupBy("band", "bsig").count().agg(F.max("count").alias("m")).first()
     return int(row["m"]) if row and row["m"] is not None else 0
+
+
+def compact_index(spark, index_root: str, target_files: int = 8) -> dict:
+    """Rewrite the accumulated index into consolidated parquet files.
+
+    The streaming mode accrues one subdir per micro-batch — at corpus
+    scale that is the classic small-files problem (a year of 1-minute
+    batches is ~500k subdirs; open/list cost dominates the band join).
+    Compaction reads every layout the index supports (loose append files
+    + per-batch subdirs), rewrites each component as ``target_files``
+    consolidated files, and swaps the new layout in atomically (rename;
+    the old layout is removed only after the swap). Content is preserved
+    exactly — every subsequent ``dedupe_and_append`` sees identical
+    band/gram-set populations (equality-tested in
+    tests/test_dedup_incremental.py).
+
+    Returns {"bands_rows": n, "gsets_rows": n} for lineage logging."""
+    import shutil as _shutil
+
+    stats = {}
+    for comp, schema, key in (("bands", BANDS_SCHEMA, "bsig"), ("gsets", GSETS_SCHEMA, "doc_id")):
+        path = os.path.join(index_root, comp)
+        df = _read_or_empty(spark, path, schema)
+        staging = path + "__compacting"
+        # repartition on the component's join key so consolidated files
+        # carry key-clustered row groups (min/max statistics prune well)
+        df.repartition(target_files, key).write.mode("overwrite").parquet(staging)
+        stats[f"{comp}_rows"] = spark.read.schema(schema).parquet(staging).count()
+        old = path + "__old"
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(staging, path)
+        _shutil.rmtree(old, ignore_errors=True)
+    return stats

@@ -144,3 +144,35 @@ def test_stream_dedupe_twin_and_replay(spark, tmp_path):
     assert replayed[["da", "db"]].values.tolist() == before_pairs[["da", "db"]].values.tolist()
     assert (replayed["jac"].to_numpy() == before_pairs["jac"].to_numpy()).all()
     assert dedup.max_bucket_size(spark, idx_root) == before_max
+
+
+def test_compact_index_preserves_semantics(spark, tmp_path):
+    """Compacting the per-batch index layout (small-files cleanup) changes
+    no dedupe output: a later batch sees identical band/gram-set
+    populations on the compacted and uncompacted index."""
+    import glob
+
+    cap = 1_000_000
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        F.col("doc_id").cast("long"), "text"
+    )
+    batches = [docs.where(F.col("doc_id") % 3 == r) for r in range(3)]
+    roots = [str(tmp_path / "idx_compact"), str(tmp_path / "idx_control")]
+    for root in roots:
+        for i, b in enumerate(batches[:2]):
+            dedup.dedupe_and_append(b, root, bucket_cap=cap, partition=f"batch-{i}")
+
+    stats = dedup.compact_index(spark, roots[0], target_files=2)
+    control_bands = dedup._read_or_empty(spark, os.path.join(roots[1], "bands"), dedup.BANDS_SCHEMA)
+    assert stats["bands_rows"] == control_bands.count()
+    assert stats["gsets_rows"] > 0
+    # layout really consolidated: no per-batch subdirs remain
+    assert not glob.glob(os.path.join(roots[0], "bands", "batch-*"))
+    assert len(glob.glob(os.path.join(roots[0], "bands", "*.parquet"))) <= 2
+
+    got = _pairs_pdf(dedup.dedupe_and_append(batches[2], roots[0], bucket_cap=cap))
+    want = _pairs_pdf(dedup.dedupe_and_append(batches[2], roots[1], bucket_cap=cap))
+    assert len(want) > 0
+    assert got[["da", "db"]].values.tolist() == want[["da", "db"]].values.tolist()
+    assert (got["jac"].to_numpy() == want["jac"].to_numpy()).all()
+    assert dedup.max_bucket_size(spark, roots[0]) == dedup.max_bucket_size(spark, roots[1])
