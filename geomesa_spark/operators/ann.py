@@ -250,3 +250,52 @@ def ann_ivf_topk(
         .select("qid", id_col, "score", "rnk")
         .orderBy("qid", "rnk")
     )
+
+
+def embed_neardup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    nbits: int = 16,
+    band_bits: int = 4,
+    bucket_cap: int = 256,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Corpus-self embedding near-dup pairs, LSH-bucketed — the scale
+    twin of the brute O(n²) ``embed_neardup_pairs`` contract query.
+
+    Candidates are id pairs sharing any random-hyperplane band bucket
+    (equi-join on (band, band_key); buckets over the cap stop producing
+    candidates, the same bounded-work guarantee as the MinHash dedup);
+    exact cosine verification runs on candidates only, with the same
+    rounded-cosine expression as the brute twin, so every emitted pair
+    is bit-identical to a brute pair (precision 1.0 by construction —
+    recall measured in tests/test_ann.py against the brute output)."""
+    e = embeddings.select(id_col, F.col(emb_col).cast("array<double>").alias("de"))
+    banded = with_lsh_bands(e, "de", nbits, band_bits).select(id_col, "band", "band_key")
+    w = Window.partitionBy("band", "band_key")
+    sized = banded.withColumn("bn", F.count(F.lit(1)).over(w)).where(F.col("bn") <= bucket_cap)
+    a, b = sized.alias("a"), sized.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("va"), F.col(f"b.{id_col}").alias("vb"))
+        .distinct()
+    )
+    dot = lambda x, y: F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v)
+    n = e.withColumn("nrm", F.sqrt(dot(F.col("de"), F.col("de"))))
+    sa = n.select(F.col(id_col).alias("va"), F.col("de").alias("ea"), F.col("nrm").alias("na"))
+    sb = n.select(F.col(id_col).alias("vb"), F.col("de").alias("eb"), F.col("nrm").alias("nb"))
+    cos = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        cand.join(sa, "va")
+        .join(sb, "vb")
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= threshold)
+        .select("va", "vb", "cos")
+        .orderBy("va", "vb")
+    )

@@ -98,3 +98,40 @@ def test_ann_ivf_cluster_partition_pruning(spark, tmp_path):
     # and semantics hold: probe rows == the two clusters' rows
     per_cluster = {r["cluster"]: r["n"] for r in table.groupBy("cluster").count().withColumnRenamed("count", "n").collect()}
     assert probed.count() == per_cluster.get(0, 0) + per_cluster.get(3, 0) > 0
+
+
+def test_embed_neardup_lsh_exact_twin_and_tradeoff(spark):
+    """embed_neardup_lsh at the fixture band parameters (8×2-bit) equals
+    the brute all-pairs output EXACTLY (recall 1.0 — the oracle contract);
+    at wider bands (4×4-bit) every emitted pair is still bit-identical to
+    a brute pair (precision 1.0 by construction) with partial recall —
+    the documented bucket-size/recall tradeoff."""
+    from geomesa_spark.operators.ann import embed_neardup_pairs_lsh
+
+    qs = entry_mod.queries()
+    brute = qs["embed_neardup_pairs"](spark, SF_DIR).toPandas()
+    assert len(brute) > 0
+    twin = qs["embed_neardup_lsh"](spark, SF_DIR).toPandas()
+    assert twin[["va", "vb"]].values.tolist() == brute[["va", "vb"]].values.tolist()
+    assert (twin["cos"].to_numpy() == brute["cos"].to_numpy()).all()
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    wide = embed_neardup_pairs_lsh(e, band_bits=4).toPandas()
+    bset = set(zip(brute.va, brute.vb))
+    wset = set(zip(wide.va, wide.vb))
+    assert wset <= bset and len(wset) > 0
+    m = wide.merge(brute, on=["va", "vb"])
+    assert (m["cos_x"] == m["cos_y"]).all()
+
+
+def test_embed_neardup_lsh_bucket_cap_bounds_work(spark):
+    """A binding bucket cap suppresses candidates from oversized buckets
+    (bounded work) and never invents pairs."""
+    from geomesa_spark.operators.ann import embed_neardup_pairs_lsh
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    full = embed_neardup_pairs_lsh(e, band_bits=2).toPandas()
+    capped = embed_neardup_pairs_lsh(e, band_bits=2, bucket_cap=8).toPandas()
+    fset = set(zip(full.va, full.vb))
+    cset = set(zip(capped.va, capped.vb))
+    assert cset <= fset
