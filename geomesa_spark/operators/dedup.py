@@ -147,11 +147,20 @@ def dedupe_and_append(
     new_sets = gram_sets(grams)
 
     stored_bands = _read_or_empty(spark, bands_path, BANDS_SCHEMA, exclude=partition)
-    all_bands = stored_bands.unionByName(new_bands)
-    # bucket sizes over the FULL (stored ∪ new) population — identical
-    # cap semantics to the one-shot path over the union corpus
+    # Only buckets TOUCHED by the new batch can produce candidates (both
+    # sides of a pair share the bucket key and one side is always new),
+    # so the stored table is pruned to those buckets FIRST via a
+    # broadcast semi-join on the batch's keys — no full-corpus shuffle
+    # per batch; the scan itself row-group-prunes once compact_index has
+    # clustered the files by bsig. Within a touched bucket every stored
+    # row survives the semi-join, so the bucket counts below equal the
+    # full-population counts — identical cap semantics to the one-shot
+    # path over the union corpus (twin-equality tested).
+    new_keys = new_bands.select("band", "bsig").distinct()
+    relevant_stored = stored_bands.join(F.broadcast(new_keys), ["band", "bsig"], "left_semi")
+    relevant = relevant_stored.unionByName(new_bands)
     w = Window.partitionBy("band", "bsig")
-    sized = all_bands.withColumn("bn", F.count(F.lit(1)).over(w)).where(F.col("bn") <= bucket_cap)
+    sized = relevant.withColumn("bn", F.count(F.lit(1)).over(w)).where(F.col("bn") <= bucket_cap)
     new_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
     sized_new = sized.join(F.broadcast(new_ids), "doc_id", "left_semi")
     a, b = sized.alias("a"), sized_new.alias("b")
