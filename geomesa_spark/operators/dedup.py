@@ -121,6 +121,7 @@ def dedupe_and_append(
     threshold: float | None = None,
     bucket_cap: int | None = None,
     partition: str | None = None,
+    prune: bool | None = None,
 ) -> DataFrame:
     """Dedupe a new batch against the stored index ∪ itself, then append
     the batch to the index. Returns the verified near-dup pairs
@@ -132,6 +133,20 @@ def dedupe_and_append(
     is excluded from the stored-index read and both writes are
     mode=overwrite, so re-running the same batch — even over a partial
     crashed write — reproduces identical state and output.
+
+    ``prune`` picks the plan (StrategyDecider pattern, same as
+    spatial_join's auto mode). True = the corpus-growth regime: the
+    stored band table is pruned to buckets the batch touches (broadcast
+    semi-join on the batch's keys) before bucket counting, and the
+    stored gram-set table is pruned to candidate participants before the
+    verify joins — per-batch work is O(|batch| + |stored rows touched|),
+    never a full-corpus shuffle. False = the comparable-sizes regime
+    (initial bulk loads): skip the prune passes, whose broadcast
+    barriers only add overhead when there is little to prune. None
+    (default) decides from the measured row counts (stored > 4× new).
+    BOTH plans produce identical output — within a touched bucket every
+    stored row survives the semi-join, so bucket counts equal the
+    full-population counts (twin-equality tested for both).
 
     The returned DataFrame is materialized (the index append would
     otherwise race its own lineage)."""
@@ -147,18 +162,25 @@ def dedupe_and_append(
     new_sets = gram_sets(grams)
 
     stored_bands = _read_or_empty(spark, bands_path, BANDS_SCHEMA, exclude=partition)
-    # Only buckets TOUCHED by the new batch can produce candidates (both
-    # sides of a pair share the bucket key and one side is always new),
-    # so the stored table is pruned to those buckets FIRST via a
-    # broadcast semi-join on the batch's keys — no full-corpus shuffle
-    # per batch; the scan itself row-group-prunes once compact_index has
-    # clustered the files by bsig. Within a touched bucket every stored
-    # row survives the semi-join, so the bucket counts below equal the
-    # full-population counts — identical cap semantics to the one-shot
-    # path over the union corpus (twin-equality tested).
-    new_keys = new_bands.select("band", "bsig").distinct()
-    relevant_stored = stored_bands.join(F.broadcast(new_keys), ["band", "bsig"], "left_semi")
-    relevant = relevant_stored.unionByName(new_bands)
+    if prune is None:
+        # decide from footer-cheap counts WITHOUT forcing the band build:
+        # each new doc yields n_bands band rows, so the batch's band-row
+        # count is n_bands × |docs| (docs shorter than one gram are the
+        # only, negligible, overestimate)
+        n_bands = C.MINHASH_N // C.MINHASH_BAND_ROWS
+        prune = stored_bands.count() > 4 * n_bands * new_docs.count()
+    if prune:
+        # Only buckets TOUCHED by the new batch can produce candidates
+        # (both sides of a pair share the bucket key and one side is
+        # always new), so the stored table is pruned to those buckets
+        # FIRST via a broadcast semi-join on the batch's keys — no
+        # full-corpus shuffle per batch; the scan itself row-group-prunes
+        # once compact_index has clustered the files by bsig.
+        new_keys = new_bands.select("band", "bsig").distinct()
+        relevant_stored = stored_bands.join(F.broadcast(new_keys), ["band", "bsig"], "left_semi")
+        relevant = relevant_stored.unionByName(new_bands)
+    else:
+        relevant = stored_bands.unionByName(new_bands)
     w = Window.partitionBy("band", "bsig")
     sized = relevant.withColumn("bn", F.count(F.lit(1)).over(w)).where(F.col("bn") <= bucket_cap)
     new_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
@@ -182,8 +204,22 @@ def dedupe_and_append(
     )
     stored_sets = _read_or_empty(spark, gsets_path, GSETS_SCHEMA, exclude=partition)
     all_sets = stored_sets.unionByName(new_sets)
-    sa = all_sets.select(F.col("doc_id").alias("da"), F.col("gset").alias("ga_set"))
-    sb = all_sets.select(F.col("doc_id").alias("db"), F.col("gset").alias("gb_set"))
+    if prune:
+        # prune the corpus-size gram-set table to candidate participants
+        # BEFORE the attach joins (candidates are bounded by cap ×
+        # batch, so their id list broadcasts) — stored gram sets are
+        # read by doc-id join only, never shuffled wholesale per batch
+        cand = cand.persist()  # reused by the id-prune AND the verify join
+        cand_ids = (
+            cand.select(F.col("da").alias("doc_id"))
+            .union(cand.select(F.col("db").alias("doc_id")))
+            .distinct()
+        )
+        sets_rel = all_sets.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    else:
+        sets_rel = all_sets
+    sa = sets_rel.select(F.col("doc_id").alias("da"), F.col("gset").alias("ga_set"))
+    sb = sets_rel.select(F.col("doc_id").alias("db"), F.col("gset").alias("gb_set"))
     inter = F.size(F.array_intersect("ga_set", "gb_set"))
     jac = inter.cast("double") / (F.size("ga_set") + F.size("gb_set") - inter)
     pairs = (
@@ -202,6 +238,8 @@ def dedupe_and_append(
         new_sets.write.mode("append").parquet(gsets_path)
     new_bands.unpersist()
     grams.unpersist()
+    if prune:
+        cand.unpersist()
     return pairs
 
 

@@ -176,3 +176,25 @@ def test_compact_index_preserves_semantics(spark, tmp_path):
     assert got[["da", "db"]].values.tolist() == want[["da", "db"]].values.tolist()
     assert (got["jac"].to_numpy() == want["jac"].to_numpy()).all()
     assert dedup.max_bucket_size(spark, roots[0]) == dedup.max_bucket_size(spark, roots[1])
+
+
+def test_prune_and_direct_plans_identical(spark, tmp_path):
+    """The two physical plans (pruned corpus-growth vs direct
+    comparable-sizes) produce bit-identical pairs on the same stored
+    index + batch."""
+    import shutil
+
+    cap = 1_000_000
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        F.col("doc_id").cast("long"), "text"
+    )
+    r1 = str(tmp_path / "idx_pruned")
+    dedup.dedupe_and_append(docs.where(F.col("doc_id") % 2 == 0), r1, bucket_cap=cap)
+    r2 = str(tmp_path / "idx_direct")
+    shutil.copytree(r1, r2)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    p_pruned = _pairs_pdf(dedup.dedupe_and_append(odd, r1, bucket_cap=cap, prune=True))
+    p_direct = _pairs_pdf(dedup.dedupe_and_append(odd, r2, bucket_cap=cap, prune=False))
+    assert len(p_pruned) > 0
+    assert p_pruned[["da", "db"]].values.tolist() == p_direct[["da", "db"]].values.tolist()
+    assert (p_pruned["jac"].to_numpy() == p_direct["jac"].to_numpy()).all()
