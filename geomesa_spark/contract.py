@@ -1681,25 +1681,18 @@ def q_ngram_minhash_dedup(spark, sf_dir):
     blowup) → 4×4 banded LSH buckets (capped at MINHASH_BUCKET_CAP) →
     candidate pairs → EXACT shingle-Jaccard verification computed only
     for candidates (never all pairs). The oracle mirrors every stage."""
+    from geomesa_spark.operators import dedup as DD
+
     d = _load(spark, sf_dir, "documents")
     # int64 gram identity (md5 60-bit) — distinct/joins shuffle 8-byte
-    # keys; persisted because the gram table feeds FOUR consumers
-    # (signatures, sizes, and both sides of the intersection join)
-    # per-doc distinct grams computed ROW-LOCAL (array_distinct inside
-    # codegen) — only ~1/7 of the raw grams ever explode, and the
-    # (doc_id, g) distinct shuffle disappears entirely
-    gram_arr = (
-        "array_distinct(filter(transform(sequence(1, greatest(length(text), 1)), "
-        "i -> substring(text, i, 3)), x -> length(x) = 3))"
-    )
-    grams = (
-        d.select("doc_id", F.explode(F.expr(gram_arr)).alias("gs"))
-        .select(
-            "doc_id",
-            F.conv(F.substring(F.md5(F.col("gs").cast("binary")), 1, 15), 16, 10).cast("long").alias("g"),
-        )
-        .persist()
-    )
+    # keys; per-doc distinct grams computed ROW-LOCAL (array_distinct
+    # inside codegen) — only ~1/7 of the raw grams ever explode and the
+    # (doc_id, g) distinct shuffle disappears entirely. The expressions
+    # live in operators/dedup.py (shared STRUCTURALLY with the
+    # incremental index, so one-shot/incremental twin equality cannot
+    # drift). Persisted: the gram table feeds FOUR consumers
+    # (signatures, sizes, and both sides of the intersection join).
+    grams = DD.gram_table(d).persist()
     # bound the cache: a long-lived driver re-invoking this query must not
     # accumulate persisted gram tables — keep only the latest
     while _NGRAM_GRAM_CACHE:
@@ -1708,25 +1701,8 @@ def q_ngram_minhash_dedup(spark, sf_dir):
         except Exception:
             pass
     _NGRAM_GRAM_CACHE.append(grams)
-    gh = grams.withColumn("h", F.col("g") % MINHASH_P)
-    mins = [
-        F.min((F.lit(int(MINHASH_A[i])) * F.col("h") + F.lit(int(MINHASH_B[i]))) % MINHASH_P).alias(f"m{i}")
-        for i in range(MINHASH_N)
-    ]
-    sig = gh.groupBy("doc_id").agg(*mins)
-    n_bands = MINHASH_N // MINHASH_BAND_ROWS
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.concat_ws(",", *[F.col(f"m{MINHASH_BAND_ROWS*b+j}") for j in range(MINHASH_BAND_ROWS)]).alias("bsig"),
-                )
-                for b in range(n_bands)
-            ])
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
+    # ONE wide 16-min aggregation + row-local band explode (dedup.py)
+    bands = DD.band_table(grams)
     w = Window.partitionBy("band", "bsig")
     sized = bands.withColumn("bn", F.count(F.lit(1)).over(w)).where(F.col("bn") <= MINHASH_BUCKET_CAP)
     a, b = sized.alias("a"), sized.alias("b")
@@ -1745,7 +1721,7 @@ def q_ngram_minhash_dedup(spark, sf_dir):
     # instead of fanning out |grams_a| + |grams_b| join rows — at corpus
     # scale the arrays join by doc id (bounded by the banding cap), no
     # gram-level shuffle exists at all
-    gram_sets = grams.groupBy("doc_id").agg(F.collect_set("g").alias("gset"))
+    gram_sets = DD.gram_sets(grams)
     sa = gram_sets.select(F.col("doc_id").alias("da"), F.col("gset").alias("ga_set"))
     sb = gram_sets.select(F.col("doc_id").alias("db"), F.col("gset").alias("gb_set"))
     inter = F.size(F.array_intersect("ga_set", "gb_set"))

@@ -32,6 +32,14 @@ from pyspark.sql import DataFrame, Window, functions as F
 from geomesa_spark.sources import synth
 
 
+def _dot(x, y):
+    """Codegen fold dot product — ONE definition shared by the brute,
+    LSH, IVF, and near-dup cosine expressions so their scores stay
+    bit-identical (the twin-equality and shared-oracle claims depend on
+    the expression never drifting between paths)."""
+    return F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
+
+
 def _hyperplanes(dim: int, nbits: int) -> np.ndarray:
     """(nbits, dim) deterministic standard-normal hyperplanes."""
     n = dim * nbits
@@ -109,7 +117,7 @@ def ann_lsh_topk(
         F.col(id_col).alias("qid"), F.col("de").alias("qe")
     )
     cand = cand_ids.join(e, id_col).join(F.broadcast(q_emb), "qid")
-    dot = lambda x, y: F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
+    dot = _dot
     scored = cand.withColumn(
         "score",
         F.round(dot(F.col("de"), F.col("qe")) / (F.sqrt(dot(F.col("de"), F.col("de"))) * F.sqrt(dot(F.col("qe"), F.col("qe")))), 6),
@@ -238,7 +246,7 @@ def ann_ivf_topk(
         .where(F.col(id_col) != F.col("qid"))
         .join(F.broadcast(q_emb), "qid")
     )
-    dot = lambda x, y: F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
+    dot = _dot
     scored = cand.withColumn(
         "score",
         F.round(dot(F.col("de"), F.col("qe")) / (F.sqrt(dot(F.col("de"), F.col("de"))) * F.sqrt(dot(F.col("qe"), F.col("qe")))), 6),
@@ -286,7 +294,7 @@ def embed_neardup_pairs_lsh(
         .select(F.col(f"a.{id_col}").alias("va"), F.col(f"b.{id_col}").alias("vb"))
         .distinct()
     )
-    dot = lambda x, y: F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v)
+    dot = _dot
     n = e.withColumn("nrm", F.sqrt(dot(F.col("de"), F.col("de"))))
     sa = n.select(F.col(id_col).alias("va"), F.col("de").alias("ea"), F.col("nrm").alias("na"))
     sb = n.select(F.col(id_col).alias("vb"), F.col("de").alias("eb"), F.col("nrm").alias("nb"))

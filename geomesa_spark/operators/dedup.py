@@ -94,23 +94,53 @@ def gram_sets(grams: DataFrame) -> DataFrame:
     return grams.groupBy("doc_id").agg(F.collect_set("g").alias("gset"))
 
 
+def _recover_component(path: str) -> None:
+    """Crash recovery for compact_index's rename swap: if the component
+    dir is missing but its ``__old`` sibling exists, the process died
+    between the two renames — the old layout is still complete, so put
+    it back. (When both exist, the swap finished; ``__old`` is stale.)"""
+    old = path + "__old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+
+
 def _read_or_empty(spark, path: str, schema: str, exclude: str | None = None) -> DataFrame:
     """Read an index component dir (loose root files from append-mode
     calls plus per-batch subdirs from partitioned calls). ``exclude``
     drops one subdir — a replayed streaming batch must not see its own
-    partial prior write in the "stored" population."""
+    partial prior write in the "stored" population.
+
+    Hidden entries (``_*``/``.*`` — e.g. a crashed append's
+    ``_temporary`` task-attempt dir, ``_SUCCESS`` markers) are never
+    read, and per-batch subdirs without a ``_SUCCESS`` marker are
+    skipped: an interrupted partitioned write is invisible until its
+    replay overwrites it."""
+    _recover_component(path)
     if not os.path.exists(path):
         return spark.createDataFrame([], schema)
     entries = []
     for e in sorted(os.listdir(path)):
         full = os.path.join(path, e)
-        if e == exclude:
+        if e == exclude or e.startswith(("_", ".")):
             continue
-        if os.path.isdir(full) or e.endswith(".parquet"):
+        if os.path.isdir(full):
+            if os.path.exists(os.path.join(full, "_SUCCESS")):
+                entries.append(full)
+        elif e.endswith(".parquet"):
             entries.append(full)
     if not entries:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*entries)
+
+
+def _absorbed_partitions(index_root: str) -> set[str]:
+    """Per-batch subdir names folded into consolidated files by
+    compact_index (provenance for replay correctness)."""
+    marker = os.path.join(index_root, "_compacted.txt")
+    if not os.path.exists(marker):
+        return set()
+    with open(marker) as f:
+        return {ln.strip() for ln in f if ln.strip()}
 
 
 def dedupe_and_append(
@@ -132,7 +162,12 @@ def dedupe_and_append(
     the call IDEMPOTENT (streaming replay safety): the batch's own subdir
     is excluded from the stored-index read and both writes are
     mode=overwrite, so re-running the same batch — even over a partial
-    crashed write — reproduces identical state and output.
+    crashed write — reproduces identical state and output. Replay stays
+    idempotent ACROSS ``compact_index`` runs: when the batch's subdir was
+    already folded into consolidated files (the ``_compacted.txt``
+    provenance marker), its prior rows are excluded by doc-id anti-join
+    instead, and the index write is skipped — this relies on a doc id
+    belonging to exactly one batch (re-ingesting an id IS a replay).
 
     ``prune`` picks the plan (StrategyDecider pattern, same as
     spatial_join's auto mode). True = the corpus-growth regime: the
@@ -159,88 +194,114 @@ def dedupe_and_append(
 
     grams = gram_table(new_docs, id_col, text_col).persist()
     new_bands = band_table(grams).persist()
-    new_sets = gram_sets(grams)
+    # persisted: consumed by BOTH the verify join and the index write
+    new_sets = gram_sets(grams).persist()
+    # any exception must still release executor cache (a long-lived
+    # driver retrying failed batches would otherwise leak persisted
+    # tables with no handle left to unpersist)
+    to_unpersist = [grams, new_bands, new_sets]
+    try:
+        new_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
+        # replay after compaction: the batch's prior rows live in
+        # consolidated files (no subdir to exclude) — drop them by doc id
+        replay_absorbed = partition is not None and partition in _absorbed_partitions(index_root)
 
-    stored_bands = _read_or_empty(spark, bands_path, BANDS_SCHEMA, exclude=partition)
-    if prune is None:
-        # decide from footer-cheap counts WITHOUT forcing the band build:
-        # each new doc yields n_bands band rows, so the batch's band-row
-        # count is n_bands × |docs| (docs shorter than one gram are the
-        # only, negligible, overestimate)
+        def _stored(path, schema):
+            df = _read_or_empty(spark, path, schema, exclude=partition)
+            if replay_absorbed:
+                df = df.join(F.broadcast(new_ids), "doc_id", "left_anti")
+            return df
+
+        stored_bands = _stored(bands_path, BANDS_SCHEMA)
         n_bands = C.MINHASH_N // C.MINHASH_BAND_ROWS
-        prune = stored_bands.count() > 4 * n_bands * new_docs.count()
-    if prune:
-        # Only buckets TOUCHED by the new batch can produce candidates
-        # (both sides of a pair share the bucket key and one side is
-        # always new), so the stored table is pruned to those buckets
-        # FIRST via a broadcast semi-join on the batch's keys — no
-        # full-corpus shuffle per batch; the scan itself row-group-prunes
-        # once compact_index has clustered the files by bsig.
-        new_keys = new_bands.select("band", "bsig").distinct()
-        relevant_stored = stored_bands.join(F.broadcast(new_keys), ["band", "bsig"], "left_semi")
-        relevant = relevant_stored.unionByName(new_bands)
-    else:
-        relevant = stored_bands.unionByName(new_bands)
-    w = Window.partitionBy("band", "bsig")
-    sized = relevant.withColumn("bn", F.count(F.lit(1)).over(w)).where(F.col("bn") <= bucket_cap)
-    new_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
-    sized_new = sized.join(F.broadcast(new_ids), "doc_id", "left_semi")
-    a, b = sized.alias("a"), sized_new.alias("b")
-    # candidate pairs where the NEW side participates; (a<b) dedupes the
-    # symmetric new×new matches, and old×old pairs never form because one
-    # side is always new
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bsig") == F.col("b.bsig"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .select(
-            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("da"),
-            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("db"),
-        )
-        .distinct()
-    )
-    stored_sets = _read_or_empty(spark, gsets_path, GSETS_SCHEMA, exclude=partition)
-    all_sets = stored_sets.unionByName(new_sets)
-    if prune:
-        # prune the corpus-size gram-set table to candidate participants
-        # BEFORE the attach joins (candidates are bounded by cap ×
-        # batch, so their id list broadcasts) — stored gram sets are
-        # read by doc-id join only, never shuffled wholesale per batch
-        cand = cand.persist()  # reused by the id-prune AND the verify join
-        cand_ids = (
-            cand.select(F.col("da").alias("doc_id"))
-            .union(cand.select(F.col("db").alias("doc_id")))
+        ndocs = new_docs.count() if prune is not False else 0
+        if prune is None:
+            # decide from cheap counts WITHOUT forcing the band build:
+            # each new doc yields n_bands band rows, so the batch's
+            # band-row count is n_bands × |docs| (docs shorter than one
+            # gram are the only, negligible, overestimate)
+            prune = stored_bands.count() > 4 * n_bands * ndocs
+        if prune:
+            # Only buckets TOUCHED by the new batch can produce
+            # candidates (both sides of a pair share the bucket key and
+            # one side is always new), so the stored table is pruned to
+            # those buckets FIRST — no full-corpus shuffle per batch.
+            new_keys = new_bands.select("band", "bsig").distinct()
+            scan = stored_bands
+            if n_bands * ndocs <= 20_000:
+                # micro-batch: collect the key list and push a literal
+                # IN-filter on bsig into the parquet scan — actual
+                # row-group min/max skipping on compact_index's
+                # bsig-sorted files (a semi-join alone pushes no scan
+                # predicate). Superset filter; the exact (band, bsig)
+                # semi-join below preserves exactness.
+                keys = [r["bsig"] for r in new_keys.collect()]
+                scan = scan.where(F.col("bsig").isin(keys))
+            relevant_stored = scan.join(F.broadcast(new_keys), ["band", "bsig"], "left_semi")
+            relevant = relevant_stored.unionByName(new_bands)
+        else:
+            relevant = stored_bands.unionByName(new_bands)
+        w = Window.partitionBy("band", "bsig")
+        sized = relevant.withColumn("bn", F.count(F.lit(1)).over(w)).where(F.col("bn") <= bucket_cap)
+        sized_new = sized.join(F.broadcast(new_ids), "doc_id", "left_semi")
+        a, b = sized.alias("a"), sized_new.alias("b")
+        # candidate pairs where the NEW side participates; least/greatest
+        # + distinct dedupes the symmetric new×new matches, and old×old
+        # pairs never form because one side is always new
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bsig") == F.col("b.bsig"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("da"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("db"),
+            )
             .distinct()
         )
-        sets_rel = all_sets.join(F.broadcast(cand_ids), "doc_id", "left_semi")
-    else:
-        sets_rel = all_sets
-    sa = sets_rel.select(F.col("doc_id").alias("da"), F.col("gset").alias("ga_set"))
-    sb = sets_rel.select(F.col("doc_id").alias("db"), F.col("gset").alias("gb_set"))
-    inter = F.size(F.array_intersect("ga_set", "gb_set"))
-    jac = inter.cast("double") / (F.size("ga_set") + F.size("gb_set") - inter)
-    pairs = (
-        cand.join(sa, "da")
-        .join(sb, "db")
-        .withColumn("jac", jac)
-        .where(F.col("jac") >= threshold)
-        .select("da", "db", "jac")
-        .localCheckpoint(eager=True)  # sever lineage from the pre-append index state
-    )
-    if partition is not None:
-        new_bands.write.mode("overwrite").parquet(os.path.join(bands_path, partition))
-        new_sets.write.mode("overwrite").parquet(os.path.join(gsets_path, partition))
-    else:
-        new_bands.write.mode("append").parquet(bands_path)
-        new_sets.write.mode("append").parquet(gsets_path)
-    new_bands.unpersist()
-    grams.unpersist()
-    if prune:
-        cand.unpersist()
-    return pairs
+        all_sets = _stored(gsets_path, GSETS_SCHEMA).unionByName(new_sets)
+        if prune:
+            # prune the corpus-size gram-set table to candidate
+            # participants BEFORE the attach joins (candidates are
+            # bounded by cap × batch, so their id list broadcasts) —
+            # stored gram sets are read by doc-id join only, never
+            # shuffled wholesale per batch
+            cand = cand.persist()  # reused by the id-prune AND the verify join
+            to_unpersist.append(cand)
+            cand_ids = (
+                cand.select(F.col("da").alias("doc_id"))
+                .union(cand.select(F.col("db").alias("doc_id")))
+                .distinct()
+            )
+            sets_rel = all_sets.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        else:
+            sets_rel = all_sets
+        sa = sets_rel.select(F.col("doc_id").alias("da"), F.col("gset").alias("ga_set"))
+        sb = sets_rel.select(F.col("doc_id").alias("db"), F.col("gset").alias("gb_set"))
+        inter = F.size(F.array_intersect("ga_set", "gb_set"))
+        jac = inter.cast("double") / (F.size("ga_set") + F.size("gb_set") - inter)
+        pairs = (
+            cand.join(sa, "da")
+            .join(sb, "db")
+            .withColumn("jac", jac)
+            .where(F.col("jac") >= threshold)
+            .select("da", "db", "jac")
+            .localCheckpoint(eager=True)  # sever lineage from the pre-append index state
+        )
+        if replay_absorbed:
+            pass  # rows already folded into consolidated files — no write
+        elif partition is not None:
+            new_bands.write.mode("overwrite").parquet(os.path.join(bands_path, partition))
+            new_sets.write.mode("overwrite").parquet(os.path.join(gsets_path, partition))
+        else:
+            new_bands.write.mode("append").parquet(bands_path)
+            new_sets.write.mode("append").parquet(gsets_path)
+        return pairs
+    finally:
+        for df in to_unpersist:
+            df.unpersist()
 
 
 def max_bucket_size(spark, index_root: str) -> int:
@@ -259,28 +320,58 @@ def compact_index(spark, index_root: str, target_files: int = 8) -> dict:
     scale that is the classic small-files problem (a year of 1-minute
     batches is ~500k subdirs; open/list cost dominates the band join).
     Compaction reads every layout the index supports (loose append files
-    + per-batch subdirs), rewrites each component as ``target_files``
-    consolidated files, and swaps the new layout in atomically (rename;
-    the old layout is removed only after the swap). Content is preserved
-    exactly — every subsequent ``dedupe_and_append`` sees identical
-    band/gram-set populations (equality-tested in
+    + complete per-batch subdirs), rewrites each component as
+    ``target_files`` files repartitioned AND sorted by its join key (so
+    row groups carry tight min/max stats for the prune path's pushed
+    IN-filter), and swaps the new layout in via rename. Content is
+    preserved exactly — every subsequent ``dedupe_and_append`` sees
+    identical band/gram-set populations (equality-tested in
     tests/test_dedup_incremental.py).
+
+    Crash safety: absorbed batch names are recorded in ``_compacted.txt``
+    BEFORE the swap (a replay anti-joins by doc id and skips its write —
+    correct whether or not the swap completed), a crash between the two
+    renames is healed by ``_recover_component`` on the next read, and
+    incomplete (crashed, ``_SUCCESS``-less) batch subdirs are carried
+    over untouched for their replay to overwrite. NOT safe concurrently
+    with an in-flight write to the same index.
 
     Returns {"bands_rows": n, "gsets_rows": n} for lineage logging."""
     import shutil as _shutil
 
     stats = {}
+    absorbed: set[str] = set()
+    incomplete: dict[str, list[str]] = {}
     for comp, schema, key in (("bands", BANDS_SCHEMA, "bsig"), ("gsets", GSETS_SCHEMA, "doc_id")):
         path = os.path.join(index_root, comp)
+        _recover_component(path)
+        _shutil.rmtree(path + "__compacting", ignore_errors=True)  # stale crashed staging
+        _shutil.rmtree(path + "__old", ignore_errors=True)  # stale post-swap leftover
+        incomplete[comp] = []
+        if os.path.exists(path):
+            for e in sorted(os.listdir(path)):
+                if os.path.isdir(os.path.join(path, e)) and not e.startswith(("_", ".")):
+                    if os.path.exists(os.path.join(path, e, "_SUCCESS")):
+                        absorbed.add(e)
+                    else:
+                        incomplete[comp].append(e)
         df = _read_or_empty(spark, path, schema)
         staging = path + "__compacting"
-        # repartition on the component's join key so consolidated files
-        # carry key-clustered row groups (min/max statistics prune well)
-        df.repartition(target_files, key).write.mode("overwrite").parquet(staging)
+        df.repartition(target_files, key).sortWithinPartitions(key).write.mode("overwrite").parquet(staging)
         stats[f"{comp}_rows"] = spark.read.schema(schema).parquet(staging).count()
+    # provenance FIRST: once a batch might be folded in, its replay must
+    # switch to doc-id exclusion + write-skip (safe in every crash order)
+    if absorbed:
+        with open(os.path.join(index_root, "_compacted.txt"), "a") as f:
+            for e in sorted(absorbed):
+                f.write(e + "\n")
+    for comp in ("bands", "gsets"):
+        path = os.path.join(index_root, comp)
         old = path + "__old"
         if os.path.exists(path):
             os.rename(path, old)
-        os.rename(staging, path)
+        os.rename(path + "__compacting", path)
+        for e in incomplete[comp]:
+            os.rename(os.path.join(old, e), os.path.join(path, e))
         _shutil.rmtree(old, ignore_errors=True)
     return stats

@@ -127,11 +127,19 @@ def test_embed_neardup_lsh_exact_twin_and_tradeoff(spark):
 def test_embed_neardup_lsh_bucket_cap_bounds_work(spark):
     """A binding bucket cap suppresses candidates from oversized buckets
     (bounded work) and never invents pairs."""
-    from geomesa_spark.operators.ann import embed_neardup_pairs_lsh
+    from geomesa_spark.operators.ann import embed_neardup_pairs_lsh, with_lsh_bands
 
     e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    # prove the cap BINDS on this fixture (else the test is vacuous)
+    banded = with_lsh_bands(
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("de")), "de", 16, 2
+    )
+    maxb = banded.groupBy("band", "band_key").count().agg(F.max("count")).first()[0]
+    assert maxb > 8, "fixture has no bucket over the test cap"
     full = embed_neardup_pairs_lsh(e, band_bits=2).toPandas()
     capped = embed_neardup_pairs_lsh(e, band_bits=2, bucket_cap=8).toPandas()
     fset = set(zip(full.va, full.vb))
     cset = set(zip(capped.va, capped.vb))
     assert cset <= fset
+    # ...and that capping genuinely suppressed something
+    assert len(cset) < len(fset)

@@ -198,3 +198,33 @@ def test_prune_and_direct_plans_identical(spark, tmp_path):
     assert len(p_pruned) > 0
     assert p_pruned[["da", "db"]].values.tolist() == p_direct[["da", "db"]].values.tolist()
     assert (p_pruned["jac"].to_numpy() == p_direct["jac"].to_numpy()).all()
+
+
+def test_replay_after_compaction_is_idempotent(spark, tmp_path):
+    """foreachBatch replay AFTER compact_index folded the batch into
+    consolidated files: the replay must exclude its own prior rows by
+    doc id (no subdir left to exclude), emit identical pairs, and skip
+    the index write (no duplicated rows)."""
+    import glob
+
+    cap = 1_000_000
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        F.col("doc_id").cast("long"), "text"
+    )
+    b0 = docs.where(F.col("doc_id") % 2 == 0)
+    b1 = docs.where(F.col("doc_id") % 2 == 1)
+    root = str(tmp_path / "idx_rc")
+    dedup.dedupe_and_append(b0, root, bucket_cap=cap, partition="batch-0")
+    before = _pairs_pdf(dedup.dedupe_and_append(b1, root, bucket_cap=cap, partition="batch-1"))
+    bands_path = os.path.join(root, "bands")
+    rows_before = dedup._read_or_empty(spark, bands_path, dedup.BANDS_SCHEMA).count()
+
+    dedup.compact_index(spark, root, target_files=2)
+    assert "batch-1" in dedup._absorbed_partitions(root)
+
+    replayed = _pairs_pdf(dedup.dedupe_and_append(b1, root, bucket_cap=cap, partition="batch-1"))
+    assert replayed[["da", "db"]].values.tolist() == before[["da", "db"]].values.tolist()
+    assert (replayed["jac"].to_numpy() == before["jac"].to_numpy()).all()
+    # write skipped: no per-batch subdir reappears, no duplicated rows
+    assert not glob.glob(os.path.join(bands_path, "batch-*"))
+    assert dedup._read_or_empty(spark, bands_path, dedup.BANDS_SCHEMA).count() == rows_before
