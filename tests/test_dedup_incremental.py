@@ -228,3 +228,45 @@ def test_replay_after_compaction_is_idempotent(spark, tmp_path):
     # write skipped: no per-batch subdir reappears, no duplicated rows
     assert not glob.glob(os.path.join(bands_path, "batch-*"))
     assert dedup._read_or_empty(spark, bands_path, dedup.BANDS_SCHEMA).count() == rows_before
+
+
+def test_dedup_job_entrypoint_resume(spark, tmp_path, monkeypatch, capsys):
+    """jobs/dedup_job.py end-to-end in-process: first submit commits the
+    batch's pairs to the manifest; an identical re-submit is a no-op
+    (resume semantics)."""
+    import importlib.util
+    import sys
+
+    from pyspark.sql import SparkSession
+
+    from geomesa_spark.sources import manifest as M
+
+    spec = importlib.util.spec_from_file_location(
+        "dedup_job", os.path.join(os.path.dirname(__file__), "..", "jobs", "dedup_job.py")
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    docs_path = str(tmp_path / "batch0.parquet")
+    (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .select(F.col("doc_id").cast("long"), "text")
+        .write.parquet(docs_path)
+    )
+    idx = str(tmp_path / "jidx")
+    out = str(tmp_path / "jpairs")
+    argv = [
+        "dedup_job.py", "--docs", docs_path, "--index-root", idx,
+        "--pairs-out", out, "--batch", "batch-0", "--compact-every", "1",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    # the job stops its session on exit; keep the shared test session alive
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    job.main()
+    assert "batch-0" in M.completed_partitions(out, "neardup_pairs")
+    n_pairs = spark.read.parquet(os.path.join(out, "data", "neardup_pairs", "part=batch-0")).count()
+    assert n_pairs > 0
+    assert "compacted index" in capsys.readouterr().out
+
+    job.main()  # resume: already committed
+    assert "already committed" in capsys.readouterr().out
