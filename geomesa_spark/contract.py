@@ -1612,6 +1612,17 @@ NGRAM_JACCARD_THRESHOLD = 0.8
 _NGRAM_GRAM_CACHE: list = []  # latest persisted gram table (bounded leak)
 
 
+# char-3-gram shingle table with int64 md5 gram identities — joins and
+# distincts shuffle 8-byte keys (collisions over a ~10^5-gram vocabulary
+# are ~2^-40 — and both engines hash identically); shared by the MinHash
+# dedup pipelines AND the decontamination query
+_NGRAM_GRAMS_SQL = (
+    "pos as (select doc_id, text, unnest(range(1, greatest(length(text), 1) + 1)) i from documents), "
+    "grams as (select distinct doc_id, ('0x' || substring(md5(substring(text, i, 3)), 1, 15))::bigint g "
+    "from pos where length(substring(text, i, 3)) = 3)"
+)
+
+
 def _ngram_base_sql() -> str:
     """Shared SQL CTEs: char-3-gram shingles → per-doc 16-hash MinHash
     (wide min aggregation, same coefficients as the word MinHash) →
@@ -1630,12 +1641,7 @@ def _ngram_base_sql() -> str:
         for b in range(MINHASH_N // MINHASH_BAND_ROWS)
     )
     return (
-        "pos as (select doc_id, text, unnest(range(1, greatest(length(text), 1) + 1)) i from documents), "
-        # grams carry an int64 md5-identity, not the string: joins and
-        # distincts shuffle 8-byte keys (collisions over a ~10^5-gram
-        # vocabulary are ~2^-40 — and both engines hash identically)
-        "grams as (select distinct doc_id, ('0x' || substring(md5(substring(text, i, 3)), 1, 15))::bigint g "
-        "from pos where length(substring(text, i, 3)) = 3), "
+        f"{_NGRAM_GRAMS_SQL}, "
         "gh as (select doc_id, g % 2147483647 h from grams), "
         f"sig as (select doc_id, {mins} from gh group by doc_id), "
         f"bands as (({band_rows}))"
@@ -2219,6 +2225,64 @@ def q_repetition_stats(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+DECONTAM_NBENCH = 5  # lowest ids form the "benchmark" set (ANN-query style)
+DECONTAM_THRESHOLD = 0.9  # char-3-gram overlap floor is ~0.82 on this synth vocab; 0.9 splits ~40/60
+
+
+@_q(
+    "decontamination",
+    (
+        f"with {_NGRAM_GRAMS_SQL}, "
+        f"bench as (select distinct g from grams where doc_id < {DECONTAM_NBENCH}), "
+        f"tg as (select doc_id, count(*) n_grams from grams where doc_id >= {DECONTAM_NBENCH} group by doc_id), "
+        "ov as (select doc_id, count(*) n_overlap from grams join bench using (g) "
+        f"where doc_id >= {DECONTAM_NBENCH} group by doc_id) "
+        "select tg.doc_id, cast(n_grams as bigint) n_grams, "
+        "cast(coalesce(n_overlap, 0) as bigint) n_overlap, "
+        "cast(coalesce(n_overlap, 0) as double) / n_grams overlap_frac, "
+        f"cast(cast(coalesce(n_overlap, 0) as double) / n_grams >= {_f(DECONTAM_THRESHOLD)} as bigint) contaminated "
+        "from tg left join ov using (doc_id) order by doc_id"
+    ),
+)
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination: flag corpus documents whose char-3-gram
+    overlap with a benchmark set (here: the lowest DECONTAM_NBENCH doc
+    ids, ANN-query style) exceeds DECONTAM_THRESHOLD. The 100 TB shape:
+    the benchmark gram set is tiny and BROADCAST — the corpus-side gram
+    table joins it with no shuffle of corpus grams (map-side semi
+    filter), then one per-doc aggregation; gram identities are the same
+    int64 md5 keys as the dedup pipelines (operators/dedup.py)."""
+    from geomesa_spark.operators import dedup as DD
+
+    d = _load(spark, sf_dir, "documents")
+    grams = DD.gram_table(d).persist()
+    try:
+        bench = grams.where(F.col("doc_id") < DECONTAM_NBENCH).select("g").distinct()
+        corpus = grams.where(F.col("doc_id") >= DECONTAM_NBENCH)
+        sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+        overlap = (
+            corpus.join(F.broadcast(bench), "g", "inner")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+        )
+        frac = F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double") / F.col("n_grams")
+        out = (
+            sizes.join(overlap, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("n_grams").cast("long").alias("n_grams"),
+                F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+                frac.alias("overlap_frac"),
+                (frac >= DECONTAM_THRESHOLD).cast("long").alias("contaminated"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)  # materialize before unpersist
+        )
+        return out
+    finally:
+        grams.unpersist()
 
 
 @_q("hex_rollup", None)
