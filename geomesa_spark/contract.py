@@ -1836,22 +1836,28 @@ SIMHASH_BAND_BITS = 15   # 4 bands × 15 bits; lossless for hamming ≤ 3
                          # candidate blowup)
 
 
+# 60-bit fingerprints → brute all-pairs Hamming ≤ max; ends with CTE
+# `sh_pairs(da, db, hamming)` — shared by the pair query (its direct
+# oracle) and the connected-components clustering oracle
+_SIMHASH_PAIRS_CTES = (
+    f"{_WORDS_SQL}, "
+    "wh as (select doc_id, ('0x' || substring(md5(w), 1, 15))::bigint h from words), "
+    "bits as (select doc_id, b.i, "
+    "sum(case when (h // (1::bigint << b.i)) % 2 = 1 then 1 else -1 end) s "
+    f"from wh cross join (select unnest(range({SIMHASH_PAIR_BITS})) i) b group by doc_id, b.i), "
+    "sig as (select doc_id, cast(sum(case when s > 0 then (1::bigint << i) else 0 end) as bigint) sh "
+    "from bits group by doc_id), "
+    "h as (select a.doc_id da, b.doc_id db, "
+    f"cast((select sum((xor(a.sh, b.sh) // (1::bigint << k.i)) % 2) "
+    f"from (select unnest(range({SIMHASH_PAIR_BITS})) i) k) as bigint) hamming "
+    "from sig a join sig b on a.doc_id < b.doc_id), "
+    f"sh_pairs as (select da, db, hamming from h where hamming <= {SIMHASH_HAMMING_MAX})"
+)
+
+
 @_q(
     "simhash_neardup_pairs",
-    (
-        f"with {_WORDS_SQL}, "
-        "wh as (select doc_id, ('0x' || substring(md5(w), 1, 15))::bigint h from words), "
-        "bits as (select doc_id, b.i, "
-        "sum(case when (h // (1::bigint << b.i)) % 2 = 1 then 1 else -1 end) s "
-        f"from wh cross join (select unnest(range({SIMHASH_PAIR_BITS})) i) b group by doc_id, b.i), "
-        "sig as (select doc_id, cast(sum(case when s > 0 then (1::bigint << i) else 0 end) as bigint) sh "
-        "from bits group by doc_id), "
-        "h as (select a.doc_id da, b.doc_id db, "
-        f"cast((select sum((xor(a.sh, b.sh) // (1::bigint << k.i)) % 2) "
-        f"from (select unnest(range({SIMHASH_PAIR_BITS})) i) k) as bigint) hamming "
-        "from sig a join sig b on a.doc_id < b.doc_id) "
-        f"select da, db, hamming from h where hamming <= {SIMHASH_HAMMING_MAX} order by da, db"
-    ),
+    f"with {_SIMHASH_PAIRS_CTES} select da, db, hamming from sh_pairs order by da, db",
 )
 def q_simhash_neardup_pairs(spark, sf_dir):
     """SimHash near-duplicate pairs: banded Hamming-distance join over a
@@ -1864,6 +1870,12 @@ def q_simhash_neardup_pairs(spark, sf_dir):
     keeps pairs with hamming ≤ 3. At 100 TB the band join is a bucketed
     shuffle, never an all-pairs product; the oracle is the brute-force
     twin (identical output by losslessness)."""
+    return simhash_pairs_df(spark, sf_dir).orderBy("da", "db")
+
+
+def simhash_pairs_df(spark, sf_dir) -> DataFrame:
+    """Unordered (da, db, hamming) simhash near-dup pairs — the edge set
+    shared by the pair query and the clustering query."""
     d = _load(spark, sf_dir, "documents")
     words = d.select(
         "doc_id",
@@ -1921,7 +1933,55 @@ def q_simhash_neardup_pairs(spark, sf_dir):
         cand.withColumn("hamming", F.expr("cast(bit_count(sa ^ sb) as bigint)"))
         .where(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         .select("da", "db", "hamming")
-        .orderBy("da", "db")
+    )
+
+
+@_q(
+    "dedup_clusters",
+    (
+        f"with recursive {_SIMHASH_PAIRS_CTES}, "
+        "cc_edges as (select da a, db b from sh_pairs union all select db, da from sh_pairs), "
+        # transitive closure by recursive reachability, then label = min
+        # reachable id — exact ground truth for the star-forest output
+        "reach(a, b) as (select a, b from cc_edges "
+        "union select r.a, e.b from reach r join cc_edges e on r.b = e.a), "
+        "lab as (select a doc_id, least(a, min(b)) cluster_id from reach group by a), "
+        "asg as (select d.doc_id, coalesce(l.cluster_id, d.doc_id) cluster_id "
+        "from documents d left join lab l using (doc_id)), "
+        "sz as (select cluster_id, count(*) n from asg group by cluster_id) "
+        "select a.doc_id, a.cluster_id, cast(s.n as bigint) cluster_size, "
+        "cast(a.doc_id = a.cluster_id as bigint) is_canonical "
+        "from asg a join sz s using (cluster_id) order by a.doc_id"
+    ),
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster assignment: connected components over the
+    simhash pair graph (operators/dedup.py `connected_components`,
+    large-star/small-star), every document labeled with its component's
+    min doc_id, singletons included — the keep/drop decision of a corpus
+    dedup pipeline (`is_canonical` = the row a dedup job would keep).
+
+    The oracle computes ground-truth components via recursive transitive
+    closure, so this checks TRANSITIVITY (A~B, B~C ⇒ same cluster even
+    when A,C share no band), not just pair agreement."""
+    from geomesa_spark.operators import dedup as DD
+
+    pairs = simhash_pairs_df(spark, sf_dir)
+    comp = DD.connected_components(pairs, src="da", dst="db")
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    asg = docs.join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left").select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("cluster_id")
+    )
+    sz = asg.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        asg.join(sz, "cluster_id")  # sz is tiny: AQE broadcasts it
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col("n").cast("long").alias("cluster_size"),
+            (F.col("doc_id") == F.col("cluster_id")).cast("long").alias("is_canonical"),
+        )
+        .orderBy("doc_id")
     )
 
 

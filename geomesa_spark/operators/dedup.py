@@ -375,3 +375,89 @@ def compact_index(spark, index_root: str, target_files: int = 8) -> dict:
             os.rename(os.path.join(old, e), os.path.join(path, e))
         _shutil.rmtree(old, ignore_errors=True)
     return stats
+
+
+# ---------------------------------------------------------------------------
+# connected components over the near-dup pair graph (cluster assignment)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 30
+) -> DataFrame:
+    """Alternating large-star / small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    the last stage of a corpus dedup pipeline: near-dup PAIRS become a
+    cluster assignment (one canonical doc per component).
+
+    Returns (node long, component long) for every node that appears in
+    ``edges``; ``component`` is the minimum node id in the component.
+
+    Scale shape: each round is groupBy(min) + an equi-join + distinct —
+    pure shuffles on node id, no driver-side graph state; the edge set
+    only shrinks toward a star forest and the alternation converges in
+    O(log^2 n) rounds (2-4 in practice for dense near-dup clusters, vs
+    O(diameter) for naive label propagation on chain-shaped clusters).
+    Lineage is truncated per round with an eager localCheckpoint, so the
+    plan stays constant-size regardless of round count. The driver sees
+    only a (count, checksum) pair per round for the convergence test.
+    """
+    # canonical undirected edge (u < v), self-loops dropped
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).cast("long").alias("u"),
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star: for each node a with m = min(a, N(a)), link every
+        # LARGER neighbor b > a to m  (edge (m, b), m <= a < b)
+        sym = e.selectExpr("u a", "v b").unionByName(e.selectExpr("v a", "u b"))
+        mins = sym.groupBy("a").agg(F.min("b").alias("mb"))
+        mins = mins.select("a", F.least(F.col("a"), F.col("mb")).alias("m"))
+        e1 = (
+            sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("m").alias("u"), F.col("b").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: link every neighbor b < a (plus a itself) to m
+        sym1 = e1.selectExpr("u a", "v b").unionByName(e1.selectExpr("v a", "u b"))
+        mins1 = sym1.groupBy("a").agg(F.min("b").alias("mb"))
+        mins1 = mins1.select("a", F.least(F.col("a"), F.col("mb")).alias("m"))
+        e2 = (
+            sym1.join(mins1, "a")
+            .where(F.col("b") < F.col("a"))
+            .select(F.col("m").alias("u"), F.col("b").alias("v"))
+            .unionByName(
+                mins1.where(F.col("m") != F.col("a")).select(
+                    F.col("m").alias("u"), F.col("a").alias("v")
+                )
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        old = e
+        e = e2.localCheckpoint(eager=True)
+        old.unpersist()
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-independent set checksum, immune to ANSI
+            # long-overflow (a sum of 64-bit hashes is not)
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).first()
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break  # star-forest fixpoint: every edge is (root, member)
+        prev_sig = sig
+    labels = e.selectExpr("v node", "u component").unionByName(
+        e.selectExpr("u node", "u component")
+    )
+    out = labels.distinct()
+    e.unpersist()
+    return out

@@ -270,3 +270,45 @@ def test_dedup_job_entrypoint_resume(spark, tmp_path, monkeypatch, capsys):
 
     job.main()  # resume: already committed
     assert "already committed" in capsys.readouterr().out
+
+
+# ---------------------------------------------------------------------------
+# connected components (large-star/small-star)
+# ---------------------------------------------------------------------------
+
+
+def _cc(spark, edge_list):
+    from geomesa_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    out = connected_components(df)
+    return {r.node: r.component for r in out.collect()}
+
+
+def test_cc_chain_and_islands(spark):
+    # a 12-node chain (worst case for naive label propagation), a
+    # triangle, an isolated pair; edge directions deliberately mixed
+    chain = [(i + 1, i) if i % 2 else (i, i + 1) for i in range(11)]
+    tri = [(100, 101), (101, 102), (102, 100)]
+    pair = [(201, 200)]
+    got = _cc(spark, chain + tri + pair)
+    assert {n: c for n, c in got.items() if n < 100} == {i: 0 for i in range(12)}
+    assert {n: c for n, c in got.items() if 100 <= n < 200} == {n: 100 for n in (100, 101, 102)}
+    assert got[200] == 200 and got[201] == 200
+
+
+def test_cc_duplicate_and_self_edges(spark):
+    got = _cc(spark, [(1, 2), (2, 1), (1, 1), (2, 3), (2, 3), (3, 3)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_cc_empty(spark):
+    from geomesa_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(df).count() == 0
+
+
+def test_cc_star_already_converged(spark):
+    got = _cc(spark, [(0, i) for i in range(1, 6)])
+    assert got == {i: 0 for i in range(6)}
