@@ -1985,6 +1985,87 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+ESUB_K = 20        # anchor length (chars): every shared run >= K chars
+                   # contains an aligned K-gram anchor, so recall is exact
+ESUB_DUP_SPAN = 40  # Lee et al. ExactSubstr uses 50 BPE tokens; 40 chars
+                    # splits this fixture into exact-dup vs incidental
+
+
+@_q(
+    "exact_substring_pairs",
+    (
+        "with pos as (select doc_id, text, "
+        "unnest(range(1, greatest(length(text), 1) + 1)) i from documents), "
+        f"pgrams as (select doc_id, i, ('0x' || substring(md5(substring(text, i, {ESUB_K})), 1, 15))::bigint g "
+        f"from pos where length(substring(text, i, {ESUB_K})) = {ESUB_K}), "
+        "m as (select a.doc_id da, b.doc_id db, a.i ia, b.i ib "
+        "from pgrams a join pgrams b on a.g = b.g and a.doc_id < b.doc_id), "
+        "isl as (select da, db, ia - ib diag, ia, "
+        "ia - row_number() over (partition by da, db, ia - ib order by ia) iid from m), "
+        f"runs as (select da, db, count(*) + {ESUB_K} - 1 span from isl group by da, db, diag, iid), "
+        "best as (select da, db, max(span) ms, count(*) ns from runs group by da, db) "
+        "select da, db, cast(ms as bigint) max_span, cast(ns as bigint) n_spans, "
+        f"cast(ms >= {ESUB_DUP_SPAN} as bigint) is_dup from best order by da, db"
+    ),
+)
+def q_exact_substring_pairs(spark, sf_dir):
+    """Exact shared-substring detection (the suffix-array "ExactSubstr"
+    dedup of Lee et al. 2022, re-expressed for Spark): doc pairs sharing
+    a verbatim character run >= ESUB_K, with the longest shared run and
+    the number of distinct maximal runs per pair; `is_dup` flags runs >=
+    ESUB_DUP_SPAN.
+
+    Plan: positional K-char anchors (row-local transform/filter, no
+    per-row Python) -> equi-join on the 60-bit anchor hash -> aligned
+    runs merged gaps-and-islands style (consecutive ia on one (da, db,
+    ia-ib) diagonal), span = run_length + K - 1. Anchors at the SAME
+    md5-prefix identity both engines share, so hash collisions (if any)
+    are semantics-identical. 100 TB shape: the anchor join shuffles
+    8-byte keys; production runs stride the probe side's anchors by K/2
+    and cap anchor document-frequency (boilerplate runs create hot
+    anchors) exactly like the LSH bucket cap — both documented knobs,
+    not applied here so the oracle stays an exact twin."""
+    d = _load(spark, sf_dir, "documents")
+    anchors = F.expr(
+        f"filter(transform(sequence(1, greatest(length(text), 1)), "
+        f"i -> struct(i as i, substring(text, i, {ESUB_K}) as s)), "
+        f"x -> length(x.s) = {ESUB_K})"
+    )
+    pg = d.select("doc_id", F.explode(anchors).alias("ps")).select(
+        "doc_id",
+        F.col("ps.i").alias("i"),
+        F.conv(F.substring(F.md5(F.col("ps.s").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("g"),
+    )
+    a, b = pg.alias("a"), pg.alias("b")
+    m = a.join(
+        b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("da"),
+        F.col("b.doc_id").alias("db"),
+        F.col("a.i").alias("ia"),
+        F.col("b.i").alias("ib"),
+    )
+    isl = m.select("da", "db", (F.col("ia") - F.col("ib")).alias("diag"), "ia").withColumn(
+        "iid",
+        F.col("ia") - F.row_number().over(Window.partitionBy("da", "db", "diag").orderBy("ia")),
+    )
+    runs = isl.groupBy("da", "db", "diag", "iid").agg(
+        (F.count(F.lit(1)) + F.lit(ESUB_K - 1)).alias("span")
+    )
+    best = runs.groupBy("da", "db").agg(
+        F.max("span").alias("ms"), F.count(F.lit(1)).alias("ns")
+    )
+    return best.select(
+        "da",
+        "db",
+        F.col("ms").cast("long").alias("max_span"),
+        F.col("ns").cast("long").alias("n_spans"),
+        (F.col("ms") >= ESUB_DUP_SPAN).cast("long").alias("is_dup"),
+    ).orderBy("da", "db")
+
+
 # embeddings fixture max pairwise cosine is ~0.513 (verified round 1);
 # 0.45 keeps the near-dup match path genuinely exercised (non-vacuous)
 EMBED_NEARDUP_THRESHOLD = 0.45
