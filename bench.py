@@ -60,6 +60,11 @@ BENCH_QUERIES = [
     "pip_count_auto",
     "ann_ivf_topk",
     "dedup_incremental",
+    "embed_neardup_lsh",
+    "repetition_stats",
+    "decontamination",
+    "dedup_clusters",
+    "exact_substring_pairs",
 ]
 
 

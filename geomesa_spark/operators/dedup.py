@@ -396,11 +396,15 @@ def connected_components(
     Scale shape: each round is groupBy(min) + an equi-join + distinct —
     pure shuffles on node id, no driver-side graph state; the edge set
     only shrinks toward a star forest and the alternation converges in
-    O(log^2 n) rounds (2-4 in practice for dense near-dup clusters, vs
+    O(log^2 n) rounds (1-2 in practice for dense near-dup clusters, vs
     O(diameter) for naive label propagation on chain-shaped clusters).
     Lineage is truncated per round with an eager localCheckpoint, so the
-    plan stays constant-size regardless of round count. The driver sees
-    only a (count, checksum) pair per round for the convergence test.
+    plan stays constant-size regardless of round count. Termination is
+    an EXACT star-forest test (each node is a pure root or a
+    single-edge child) checked before each round — one tiny aggregation
+    job, no wasted confirm-round, and a loud error instead of silently
+    wrong labels if max_iter is ever hit. The driver sees one scalar
+    per round.
     """
     # canonical undirected edge (u < v), self-loops dropped
     e = (
@@ -412,8 +416,27 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_sig = None
+
+    def _is_star_forest(edge_df: DataFrame) -> bool:
+        # star forest <=> every node is a pure root (never a child) or a
+        # pure child of exactly one edge; labels below are only valid then
+        roles = edge_df.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("v").alias("n"), F.lit(1).alias("c")),
+                    F.struct(F.col("u").alias("n"), F.lit(0).alias("c")),
+                )
+            ).alias("x")
+        ).select("x.n", "x.c")
+        per = roles.groupBy("n").agg(F.sum("c").alias("c"), F.count(F.lit(1)).alias("t"))
+        viol = per.where(~((F.col("c") == 0) | ((F.col("c") == 1) & (F.col("t") == 1))))
+        return len(viol.take(1)) == 0
+
+    converged = False
     for _ in range(max_iter):
+        if _is_star_forest(e):
+            converged = True
+            break
         # large-star: for each node a with m = min(a, N(a)), link every
         # LARGER neighbor b > a to m  (edge (m, b), m <= a < b)
         sym = e.selectExpr("u a", "v b").unionByName(e.selectExpr("v a", "u b"))
@@ -445,16 +468,8 @@ def connected_components(
         old = e
         e = e2.localCheckpoint(eager=True)
         old.unpersist()
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            # bit_xor: order-independent set checksum, immune to ANSI
-            # long-overflow (a sum of 64-bit hashes is not)
-            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
-        ).first()
-        sig = (row["n"], row["h"])
-        if sig == prev_sig:
-            break  # star-forest fixpoint: every edge is (root, member)
-        prev_sig = sig
+    if not converged:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
     labels = e.selectExpr("v node", "u component").unionByName(
         e.selectExpr("u node", "u component")
     )
