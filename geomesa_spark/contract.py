@@ -1936,22 +1936,28 @@ def simhash_pairs_df(spark, sf_dir) -> DataFrame:
     )
 
 
+# ground-truth components of the simhash pair graph by recursive
+# transitive closure; ends with CTE `cc_asg(doc_id, cluster_id)` over ALL
+# documents (singletons label themselves) — requires `with recursive`
+_CLUSTER_CTES = (
+    f"{_SIMHASH_PAIRS_CTES}, "
+    "cc_edges as (select da a, db b from sh_pairs union all select db, da from sh_pairs), "
+    "reach(a, b) as (select a, b from cc_edges "
+    "union select r.a, e.b from reach r join cc_edges e on r.b = e.a), "
+    "lab as (select a doc_id, least(a, min(b)) cluster_id from reach group by a), "
+    "cc_asg as (select d.doc_id, coalesce(l.cluster_id, d.doc_id) cluster_id "
+    "from documents d left join lab l using (doc_id))"
+)
+
+
 @_q(
     "dedup_clusters",
     (
-        f"with recursive {_SIMHASH_PAIRS_CTES}, "
-        "cc_edges as (select da a, db b from sh_pairs union all select db, da from sh_pairs), "
-        # transitive closure by recursive reachability, then label = min
-        # reachable id — exact ground truth for the star-forest output
-        "reach(a, b) as (select a, b from cc_edges "
-        "union select r.a, e.b from reach r join cc_edges e on r.b = e.a), "
-        "lab as (select a doc_id, least(a, min(b)) cluster_id from reach group by a), "
-        "asg as (select d.doc_id, coalesce(l.cluster_id, d.doc_id) cluster_id "
-        "from documents d left join lab l using (doc_id)), "
-        "sz as (select cluster_id, count(*) n from asg group by cluster_id) "
+        f"with recursive {_CLUSTER_CTES}, "
+        "sz as (select cluster_id, count(*) n from cc_asg group by cluster_id) "
         "select a.doc_id, a.cluster_id, cast(s.n as bigint) cluster_size, "
         "cast(a.doc_id = a.cluster_id as bigint) is_canonical "
-        "from asg a join sz s using (cluster_id) order by a.doc_id"
+        "from cc_asg a join sz s using (cluster_id) order by a.doc_id"
     ),
 )
 def q_dedup_clusters(spark, sf_dir):
@@ -2064,6 +2070,85 @@ def q_exact_substring_pairs(spark, sf_dir):
         F.col("ns").cast("long").alias("n_spans"),
         (F.col("ms") >= ESUB_DUP_SPAN).cast("long").alias("is_dup"),
     ).orderBy("da", "db")
+
+
+CURATE_MIN_TOKENS = 20  # ~10th percentile of the fixture
+CURATE_MIN_TTR = 30     # type-token-ratio floor (%, ~10th percentile)
+
+
+@_q(
+    "corpus_curation",
+    (
+        f"with recursive {_CLUSTER_CTES}, "
+        "q as (select doc_id, lang, "
+        "len(list_filter(string_split(text, ' '), x -> x <> '')) n_tok, "
+        "floor((100 * len(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))) "
+        "/ nullif(len(list_filter(string_split(text, ' '), x -> x <> '')), 0)) ttr "
+        "from documents), "
+        "cls as (select q.lang, q.n_tok, "
+        "case when q.doc_id <> a.cluster_id then 'neardup' "
+        f"when q.n_tok < {CURATE_MIN_TOKENS} or coalesce(q.ttr, 0) < {CURATE_MIN_TTR} then 'quality' "
+        "else 'keep' end c "
+        "from q join cc_asg a using (doc_id)) "
+        "select lang, cast(count(*) as bigint) n_docs, "
+        "cast(sum(case when c = 'keep' then 1 else 0 end) as bigint) n_kept, "
+        "cast(sum(case when c = 'neardup' then 1 else 0 end) as bigint) n_dropped_neardup, "
+        "cast(sum(case when c = 'quality' then 1 else 0 end) as bigint) n_dropped_quality, "
+        "cast(sum(case when c = 'keep' then n_tok else 0 end) as bigint) kept_tokens "
+        "from cls group by lang order by lang"
+    ),
+)
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end corpus curation funnel: near-dup removal (keep each
+    simhash cluster's canonical doc — `connected_components` over the
+    pair graph) then a quality gate (token count + type-token ratio),
+    rolled up per language: docs in, kept, dropped-by-reason (dedup
+    takes precedence), and surviving token budget — the "what actually
+    ships to training" accounting query of an LLM-data pipeline.
+
+    Composes three already-oracled stages (simhash pairs, clustering,
+    quality features) into one plan; the oracle recomputes all of it
+    independently (recursive-closure ground truth for the clusters)."""
+    from geomesa_spark.operators import dedup as DD
+
+    pairs = simhash_pairs_df(spark, sf_dir)
+    comp = DD.connected_components(pairs, src="da", dst="db")
+    d = _load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    q = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.floor(
+            (F.lit(100) * F.size(F.array_distinct(toks))) / F.nullif(F.size(toks), F.lit(0))
+        ).alias("ttr"),
+    )
+    asg = q.join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce("component", F.col("doc_id"))
+    )
+    c = (
+        F.when(F.col("doc_id") != F.col("cluster_id"), F.lit("neardup"))
+        .when(
+            (F.col("n_tok") < CURATE_MIN_TOKENS)
+            | (F.coalesce(F.col("ttr"), F.lit(0)) < CURATE_MIN_TTR),
+            F.lit("quality"),
+        )
+        .otherwise(F.lit("keep"))
+    )
+    cls = asg.select("lang", "n_tok", c.alias("c"))
+    return (
+        cls.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("c") == "keep").cast("long")).alias("n_kept"),
+            F.sum((F.col("c") == "neardup").cast("long")).alias("n_dropped_neardup"),
+            F.sum((F.col("c") == "quality").cast("long")).alias("n_dropped_quality"),
+            F.sum(F.when(F.col("c") == "keep", F.col("n_tok")).otherwise(F.lit(0))).alias(
+                "kept_tokens"
+            ),
+        )
+        .orderBy("lang")
+    )
 
 
 # embeddings fixture max pairwise cosine is ~0.513 (verified round 1);
