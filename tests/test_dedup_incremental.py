@@ -312,3 +312,37 @@ def test_cc_empty(spark):
 def test_cc_star_already_converged(spark):
     got = _cc(spark, [(0, i) for i in range(1, 6)])
     assert got == {i: 0 for i in range(6)}
+
+
+def test_cc_random_graphs_vs_union_find(spark):
+    # deterministic pseudo-random graphs (seeded), checked against a
+    # plain union-find oracle — exercises multi-round convergence on
+    # shapes the fixture graph doesn't have (chains of chains, forests)
+    import random
+
+    from geomesa_spark.operators.dedup import connected_components
+
+    rng = random.Random(0xC0FFEE)
+    for trial in range(4):
+        n = rng.randrange(20, 120)
+        m = rng.randrange(10, 2 * n)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        touched = set()
+        for a, b in edges:
+            if a != b:
+                touched.update((a, b))
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in touched}
+        df = spark.createDataFrame([(a, b) for a, b in edges], "src long, dst long")
+        got = {r.node: r.component for r in connected_components(df).collect()}
+        assert got == want, f"trial {trial}: n={n} m={m}"
