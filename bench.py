@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -130,17 +131,29 @@ def build_spark(cpus: int):
     )
 
 
-def materialize_pages(spark, n_pages: int) -> str:
-    """Synthesize the pages table to parquet once (not timed): the engine
+def materialize_pages(spark, n_pages: int, reuse: bool = False) -> str:
+    """Synthesize the pages table to parquet (not timed): the engine
     metric is pages *processed* per second, reading a stored table — the
-    north-rule shape (Iceberg-style table of web pages)."""
+    north-rule shape (Iceberg-style table of web pages).
+
+    By default REWRITTEN, never reused from a previous bench invocation:
+    this VM's page cache is ~1 GB and its virtual disk reads ~70 MB/s
+    cold, so a stale table turns the timed passes into a disk benchmark
+    (measured 15-28 s vs 2.3 s for the identical pipeline — round-3
+    forensics in BENCH/BASELINE.md). A fresh write leaves the 0.9 GB
+    headline table cache-hot, which is the state every prior round's
+    numbers were recorded under. ``reuse=True`` (bench_scaling.py's 8.9
+    GB table, cache-ineligible at ANY freshness, shared across its
+    per-parallelism workers) keeps an existing table."""
     from geomesa_spark.sources import synth
 
     out = f"/tmp/geomesa_bench_pages_{n_pages}"
     marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
-        parts = max(32, min(512, n_pages // 10000))
-        synth.pages(spark, n_pages, partitions=parts).write.mode("overwrite").parquet(out)
+    if reuse and os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    parts = max(32, min(512, n_pages // 10000))
+    synth.pages(spark, n_pages, partitions=parts).write.mode("overwrite").parquet(out)
     return out
 
 

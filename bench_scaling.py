@@ -55,7 +55,7 @@ def worker(cpus: int) -> None:
 
     spark = build_spark(cpus)
     try:
-        pages_path = materialize_pages(spark, N_PAGES)
+        pages_path = materialize_pages(spark, N_PAGES, reuse=True)
         pages = spark.read.parquet(pages_path).coalesce(cpus * 3)
         dfo = contract.pages_pipeline(spark, pages_df=pages)
         runs = []
