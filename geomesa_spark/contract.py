@@ -166,6 +166,25 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, fanned out to full parallelism. The testdata parquet is
+    a single row group, so Spark scans it as ONE task — and the heavy
+    shingle queries do their dominant work (per-char gram explode + md5)
+    in that scan stage, single-threaded. A tiny up-front round-robin
+    shuffle (5k rows) parallelizes the explode 32x. Used ONLY by the
+    three gram-explode queries where the win is large and A/B-measured
+    (exact_substring_pairs 12.7->2.0 s, decontamination -43%,
+    ngram_minhash_dedup -27% at sf0.1); for cheap row-local queries the
+    extra shuffle stage costs more than the single-task scan saves
+    (dedup_exact +197% when fanned out), so they read directly. At real
+    scale the table arrives in many files/row-groups and the scan is
+    already wide — this helper models the "fan out before exploding"
+    rule, not a universal read path."""
+    return _load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL fragment generators (from the same fixtures the engine uses)
 # ---------------------------------------------------------------------------
@@ -1689,7 +1708,7 @@ def q_ngram_minhash_dedup(spark, sf_dir):
     for candidates (never all pairs). The oracle mirrors every stage."""
     from geomesa_spark.operators import dedup as DD
 
-    d = _load(spark, sf_dir, "documents")
+    d = _load_docs(spark, sf_dir)
     # int64 gram identity (md5 60-bit) — distinct/joins shuffle 8-byte
     # keys; per-doc distinct grams computed ROW-LOCAL (array_distinct
     # inside codegen) — only ~1/7 of the raw grams ever explode and the
@@ -2031,18 +2050,26 @@ def q_exact_substring_pairs(spark, sf_dir):
     and cap anchor document-frequency (boilerplate runs create hot
     anchors) exactly like the LSH bucket cap — both documented knobs,
     not applied here so the oracle stays an exact twin."""
-    d = _load(spark, sf_dir, "documents")
+    d = _load_docs(spark, sf_dir)
     anchors = F.expr(
         f"filter(transform(sequence(1, greatest(length(text), 1)), "
         f"i -> struct(i as i, substring(text, i, {ESUB_K}) as s)), "
         f"x -> length(x.s) = {ESUB_K})"
     )
-    pg = d.select("doc_id", F.explode(anchors).alias("ps")).select(
-        "doc_id",
-        F.col("ps.i").alias("i"),
-        F.conv(F.substring(F.md5(F.col("ps.s").cast("binary")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("g"),
+    # materialize the anchor table once (eager localCheckpoint): both
+    # sides of the self-join read it instead of re-deriving 1.5M md5
+    # anchors twice, and the join gets real size stats (A/B-measured
+    # ~2x on top of the _load_docs fan-out)
+    pg = (
+        d.select("doc_id", F.explode(anchors).alias("ps"))
+        .select(
+            "doc_id",
+            F.col("ps.i").alias("i"),
+            F.conv(F.substring(F.md5(F.col("ps.s").cast("binary")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("g"),
+        )
+        .localCheckpoint(eager=True)
     )
     a, b = pg.alias("a"), pg.alias("b")
     m = a.join(
@@ -2482,7 +2509,7 @@ def q_decontamination(spark, sf_dir):
     int64 md5 keys as the dedup pipelines (operators/dedup.py)."""
     from geomesa_spark.operators import dedup as DD
 
-    d = _load(spark, sf_dir, "documents")
+    d = _load_docs(spark, sf_dir)
     grams = DD.gram_table(d).persist()
     try:
         bench = grams.where(F.col("doc_id") < DECONTAM_NBENCH).select("g").distinct()
