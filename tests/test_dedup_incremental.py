@@ -314,10 +314,13 @@ def test_cc_star_already_converged(spark):
     assert got == {i: 0 for i in range(6)}
 
 
-def test_cc_random_graphs_vs_union_find(spark):
+@pytest.mark.parametrize("local_finish_edges", [0, 2_000_000])
+def test_cc_random_graphs_vs_union_find(spark, local_finish_edges):
     # deterministic pseudo-random graphs (seeded), checked against a
     # plain union-find oracle — exercises multi-round convergence on
-    # shapes the fixture graph doesn't have (chains of chains, forests)
+    # shapes the fixture graph doesn't have (chains of chains, forests);
+    # run once forcing the pure iterative path (threshold 0) and once
+    # with the executor-side union-find local finish, proving equality
     import random
 
     from geomesa_spark.operators.dedup import connected_components
@@ -344,5 +347,10 @@ def test_cc_random_graphs_vs_union_find(spark):
                     parent[max(ra, rb)] = min(ra, rb)
         want = {x: find(x) for x in touched}
         df = spark.createDataFrame([(a, b) for a, b in edges], "src long, dst long")
-        got = {r.node: r.component for r in connected_components(df).collect()}
+        got = {
+            r.node: r.component
+            for r in connected_components(
+                df, local_finish_edges=local_finish_edges
+            ).collect()
+        }
         assert got == want, f"trial {trial}: n={n} m={m}"
