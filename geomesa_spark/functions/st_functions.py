@@ -277,6 +277,32 @@ def st_length(wkt: pd.Series) -> pd.Series:
     return _per_unique(wkt, ln, np.float64)
 
 
+@F.pandas_udf(DoubleType())
+def st_lengthSpheroid(wkt: pd.Series) -> pd.Series:
+    """WGS84 ellipsoidal path length of a LINESTRING in meters (the
+    reference's st_lengthSpheroid): Vincenty geodesic summed over
+    consecutive vertices — a two-vertex line equals
+    st_distanceSpheroid of its endpoints. MULTILINESTRING/collections
+    sum member linestrings; other kinds are 0 (JTS getLength parity)."""
+
+    def ln(kind, coords, offs):
+        if kind == "LINESTRING":
+            return float(
+                geo.vincenty_m(coords[:-1, 0], coords[:-1, 1], coords[1:, 0], coords[1:, 1]).sum()
+            )
+        if kind in ("MULTILINESTRING", "GEOMETRYCOLLECTION"):
+            return float(
+                sum(
+                    geo.vincenty_m(c2[:-1, 0], c2[:-1, 1], c2[1:, 0], c2[1:, 1]).sum()
+                    for k2, c2, _o2 in geo.geom_parts(kind, coords, offs)
+                    if k2 == "LINESTRING"
+                )
+            )
+        return 0.0
+
+    return _per_unique(wkt, ln, np.float64)
+
+
 @F.pandas_udf(StringType())
 def st_centroid(wkt: pd.Series) -> pd.Series:
     def cen(kind, coords, offs):
@@ -885,6 +911,7 @@ ALL_FUNCTIONS = {
     "st_numPoints": st_numPoints,
     "st_area": st_area,
     "st_length": st_length,
+    "st_lengthSpheroid": st_lengthSpheroid,
     "st_centroid": st_centroid,
     "st_exteriorRing": st_exteriorRing,
     "st_interiorRingN": st_interiorRingN,

@@ -491,6 +491,29 @@ def test_distance_spheroid_published_values(registered):
     assert r["zero"] == 0.0
 
 
+def test_length_spheroid(registered):
+    """st_lengthSpheroid: a two-vertex line equals st_distanceSpheroid of
+    its endpoints; a polyline sums segment geodesics; the equatorial
+    degree and quarter meridian anchor against exact ellipsoid values;
+    non-lines are 0 and MULTILINESTRING sums members."""
+    spark = registered
+    r = spark.sql("""
+        select st_lengthSpheroid('LINESTRING (0 0, 1 0)') eq1,
+               st_lengthSpheroid('LINESTRING (0 0, 0 90)') qm,
+               st_lengthSpheroid('LINESTRING (0 0, 1 0, 1 1)') poly,
+               st_distanceSpheroid('POINT (0 0)', 'POINT (1 0)')
+                 + st_distanceSpheroid('POINT (1 0)', 'POINT (1 1)') poly_ref,
+               st_lengthSpheroid('MULTILINESTRING ((0 0, 1 0), (0 0, 1 0))') ml,
+               st_lengthSpheroid('POINT (3 4)') pt,
+               st_lengthSpheroid('POLYGON ((0 0, 1 0, 1 1, 0 0))') pg
+    """).collect()[0]
+    assert abs(r["eq1"] - 6378137.0 * np.pi / 180.0) < 1e-6
+    assert abs(r["qm"] - 10001965.729) < 0.01
+    assert abs(r["poly"] - r["poly_ref"]) < 1e-9
+    assert abs(r["ml"] - 2 * r["eq1"]) < 1e-9
+    assert r["pt"] == 0.0 and r["pg"] == 0.0
+
+
 def test_closest_point_intersection_witness(registered):
     """ADVICE fix: when geometries intersect, st_closestPoint returns an
     actual point of A ∩ B (JTS DistanceOp), not just A's first vertex."""
