@@ -35,6 +35,11 @@ from geomesa_spark.functions import geometry as geo
 
 # matches 2-D POINTs and the 2-D projection of POINT Z / M / ZM
 _POINT_NUM = r"POINT\s*(?:ZM|Z|M)?\s*\(\s*(-?[\d.eE+-]+)\s+(-?[\d.eE+-]+)(?:\s+-?[\d.eE+-]+){0,2}\s*\)"
+# whole-string variant for dispatch decisions: an unanchored search would
+# also hit the POINT inside "MULTIPOINT (…)" or a GEOMETRYCOLLECTION's
+# first point member and silently fast-path a multi-part geometry as one
+# point (wrong answer when other members fall outside the container)
+_POINT_ONLY = r"^\s*" + _POINT_NUM + r"\s*$"
 
 
 def _parse_cache(wkts: pd.Series) -> dict[str, tuple]:
@@ -78,7 +83,7 @@ def st_makeLine(points: pd.Series) -> pd.Series:
     def mk(arr):
         if arr is None:
             return None
-        pts = pd.Series(list(arr)).str.extract(_POINT_NUM, expand=True).astype(np.float64)
+        pts = pd.Series(list(arr)).str.extract(_POINT_ONLY, expand=True).astype(np.float64)
         if pts.isna().any().any():
             return None
         return geo.wkt_linestring(pts.to_numpy())
@@ -191,12 +196,14 @@ def st_mPolyFromText(wkt: pd.Series) -> pd.Series:
 
 @F.pandas_udf(DoubleType())
 def st_x(wkt: pd.Series) -> pd.Series:
-    return wkt.str.extract(_POINT_NUM, expand=True)[0].astype(np.float64)
+    # anchored: st_x on a MULTIPOINT/collection is null (JTS Point-cast
+    # parity), not the first member's x
+    return wkt.str.extract(_POINT_ONLY, expand=True)[0].astype(np.float64)
 
 
 @F.pandas_udf(DoubleType())
 def st_y(wkt: pd.Series) -> pd.Series:
-    return wkt.str.extract(_POINT_NUM, expand=True)[1].astype(np.float64)
+    return wkt.str.extract(_POINT_ONLY, expand=True)[1].astype(np.float64)
 
 
 def _per_unique(wkt: pd.Series, fn, dtype):
@@ -345,6 +352,12 @@ def st_exteriorRing(wkt: pd.Series) -> pd.Series:
     return _per_unique(wkt, ring, object)
 
 
+def _null_idx(i) -> bool:
+    """True for a null index value: a SQL NULL in an int column reaches
+    pandas as float NaN, which is not None and raises on int()."""
+    return i is None or (isinstance(i, float) and np.isnan(i))
+
+
 @F.pandas_udf(StringType())
 def st_interiorRingN(wkt: pd.Series, n: pd.Series) -> pd.Series:
     """n-th interior ring (1-based) of a POLYGON as a LINESTRING."""
@@ -352,7 +365,7 @@ def st_interiorRingN(wkt: pd.Series, n: pd.Series) -> pd.Series:
     out = []
     for w, i in zip(wkt.to_numpy(object), n.to_numpy()):
         g = cache.get(w)
-        if g is None or g[0] != "POLYGON" or i is None or not (1 <= int(i) <= len(g[2]) - 2):
+        if g is None or g[0] != "POLYGON" or _null_idx(i) or not (1 <= int(i) <= len(g[2]) - 2):
             out.append(None)
             continue
         k = int(i)
@@ -367,7 +380,7 @@ def st_pointN(wkt: pd.Series, n: pd.Series) -> pd.Series:
     out = []
     for w, i in zip(wkt.to_numpy(object), n.to_numpy()):
         g = cache.get(w)
-        if g is None or g[0] != "LINESTRING" or i is None or i == 0 or abs(int(i)) > len(g[1]):
+        if g is None or g[0] != "LINESTRING" or _null_idx(i) or i == 0 or abs(int(i)) > len(g[1]):
             out.append(None)
             continue
         k = int(i) - 1 if int(i) > 0 else len(g[1]) + int(i)
@@ -428,7 +441,7 @@ def st_geometryN(wkt: pd.Series, n: pd.Series) -> pd.Series:
     out = []
     for w, i in zip(wkt.to_numpy(object), n.to_numpy()):
         g = cache.get(w)
-        if g is None or i is None or int(i) < 1:
+        if g is None or _null_idx(i) or int(i) < 1:
             out.append(None)
             continue
         try:
@@ -480,7 +493,7 @@ def _containment_series(container: pd.Series, contained: pd.Series, pred) -> pd.
     relate kernel for every other kind pairing (the fast path must not
     fire for LINESTRING/POINT containers — parity against a polyline is
     meaningless)."""
-    pts = contained.str.extract(_POINT_NUM, expand=True).astype(np.float64)
+    pts = contained.str.extract(_POINT_ONLY, expand=True).astype(np.float64)
     poly_container = container.str.match(r"\s*(?:POLYGON|MULTIPOLYGON)\b", na=False)
     fast = ~pts.isna().any(axis=1) & poly_container
     out = np.empty(len(container), dtype=object)
@@ -610,8 +623,8 @@ def st_distance(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
     """Planar degree distance (JTS st_distance semantics): vectorized fast
     path for POINT×POINT rows; vertex↔edge minimum (0 on contact) for
     line/polygon operands, computed once per unique pair."""
-    pa = a_wkt.str.extract(_POINT_NUM, expand=True).astype(np.float64)
-    pb = b_wkt.str.extract(_POINT_NUM, expand=True).astype(np.float64)
+    pa = a_wkt.str.extract(_POINT_ONLY, expand=True).astype(np.float64)
+    pb = b_wkt.str.extract(_POINT_ONLY, expand=True).astype(np.float64)
     fast = ~(pa.isna().any(axis=1) | pb.isna().any(axis=1))
     out = np.full(len(a_wkt), np.nan)
     if fast.any():
@@ -641,8 +654,8 @@ def st_closestPoint(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
 def st_distanceSphere(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
     """Great-circle meters (mean-radius sphere — fast approximation;
     st_distanceSpheroid is the exact-ellipsoid variant)."""
-    pa = a_wkt.str.extract(_POINT_NUM, expand=True).astype(np.float64)
-    pb = b_wkt.str.extract(_POINT_NUM, expand=True).astype(np.float64)
+    pa = a_wkt.str.extract(_POINT_ONLY, expand=True).astype(np.float64)
+    pb = b_wkt.str.extract(_POINT_ONLY, expand=True).astype(np.float64)
     return pd.Series(
         geo.haversine_m(pa[0].to_numpy(), pa[1].to_numpy(), pb[0].to_numpy(), pb[1].to_numpy())
     )
@@ -653,8 +666,8 @@ def st_distanceSpheroid(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
     """WGS84 ellipsoidal geodesic meters between two POINTs — Vincenty's
     inverse formula (the reference's st_distanceSpheroid / JTS
     geodeticDistance semantics), fully vectorized."""
-    pa = a_wkt.str.extract(_POINT_NUM, expand=True).astype(np.float64)
-    pb = b_wkt.str.extract(_POINT_NUM, expand=True).astype(np.float64)
+    pa = a_wkt.str.extract(_POINT_ONLY, expand=True).astype(np.float64)
+    pb = b_wkt.str.extract(_POINT_ONLY, expand=True).astype(np.float64)
     return pd.Series(
         geo.vincenty_m(pa[0].to_numpy(), pa[1].to_numpy(), pb[0].to_numpy(), pb[1].to_numpy())
     )

@@ -104,11 +104,14 @@ def _recover_component(path: str) -> None:
         os.rename(old, path)
 
 
-def _read_or_empty(spark, path: str, schema: str, exclude: str | None = None) -> DataFrame:
+def _read_or_empty(
+    spark, path: str, schema: str, exclude: str | set[str] | None = None
+) -> DataFrame:
     """Read an index component dir (loose root files from append-mode
     calls plus per-batch subdirs from partitioned calls). ``exclude``
-    drops one subdir — a replayed streaming batch must not see its own
-    partial prior write in the "stored" population.
+    drops the named subdir(s) — a replayed streaming batch must not see
+    its own partial prior write in the "stored" population, and
+    compaction must not fold in batches it is carrying over.
 
     Hidden entries (``_*``/``.*`` — e.g. a crashed append's
     ``_temporary`` task-attempt dir, ``_SUCCESS`` markers) are never
@@ -118,10 +121,11 @@ def _read_or_empty(spark, path: str, schema: str, exclude: str | None = None) ->
     _recover_component(path)
     if not os.path.exists(path):
         return spark.createDataFrame([], schema)
+    excluded = {exclude} if isinstance(exclude, str) else (exclude or set())
     entries = []
     for e in sorted(os.listdir(path)):
         full = os.path.join(path, e)
-        if e == exclude or e.startswith(("_", ".")):
+        if e in excluded or e.startswith(("_", ".")):
             continue
         if os.path.isdir(full):
             if os.path.exists(os.path.join(full, "_SUCCESS")):
@@ -328,34 +332,45 @@ def compact_index(spark, index_root: str, target_files: int = 8) -> dict:
     identical band/gram-set populations (equality-tested in
     tests/test_dedup_incremental.py).
 
-    Crash safety: absorbed batch names are recorded in ``_compacted.txt``
+    Crash safety: a batch subdir is folded in ONLY when it is
+    ``_SUCCESS``-committed in BOTH components — a half-committed batch
+    (dedupe_and_append crashed between the bands and gsets writes) is
+    carried over untouched in both components for its replay to
+    overwrite; folding its committed half and marking it absorbed would
+    make the replay skip the other half's write, losing those rows
+    permanently. Absorbed batch names are recorded in ``_compacted.txt``
     BEFORE the swap (a replay anti-joins by doc id and skips its write —
     correct whether or not the swap completed), a crash between the two
     renames is healed by ``_recover_component`` on the next read, and
-    incomplete (crashed, ``_SUCCESS``-less) batch subdirs are carried
-    over untouched for their replay to overwrite. NOT safe concurrently
-    with an in-flight write to the same index.
+    incomplete (crashed, ``_SUCCESS``-less) batch subdirs are likewise
+    carried over untouched. NOT safe concurrently with an in-flight
+    write to the same index.
 
     Returns {"bands_rows": n, "gsets_rows": n} for lineage logging."""
     import shutil as _shutil
 
     stats = {}
-    absorbed: set[str] = set()
-    incomplete: dict[str, list[str]] = {}
-    for comp, schema, key in (("bands", BANDS_SCHEMA, "bsig"), ("gsets", GSETS_SCHEMA, "doc_id")):
+    committed: dict[str, set[str]] = {}
+    present: dict[str, set[str]] = {}
+    for comp in ("bands", "gsets"):
         path = os.path.join(index_root, comp)
         _recover_component(path)
         _shutil.rmtree(path + "__compacting", ignore_errors=True)  # stale crashed staging
         _shutil.rmtree(path + "__old", ignore_errors=True)  # stale post-swap leftover
-        incomplete[comp] = []
+        committed[comp], present[comp] = set(), set()
         if os.path.exists(path):
             for e in sorted(os.listdir(path)):
                 if os.path.isdir(os.path.join(path, e)) and not e.startswith(("_", ".")):
+                    present[comp].add(e)
                     if os.path.exists(os.path.join(path, e, "_SUCCESS")):
-                        absorbed.add(e)
-                    else:
-                        incomplete[comp].append(e)
-        df = _read_or_empty(spark, path, schema)
+                        committed[comp].add(e)
+    # fold in only batches committed in BOTH components; every other
+    # subdir (crashed write, half-committed batch) carries over verbatim
+    absorbed = committed["bands"] & committed["gsets"]
+    carry_over = {comp: sorted(present[comp] - absorbed) for comp in present}
+    for comp, schema, key in (("bands", BANDS_SCHEMA, "bsig"), ("gsets", GSETS_SCHEMA, "doc_id")):
+        path = os.path.join(index_root, comp)
+        df = _read_or_empty(spark, path, schema, exclude=set(carry_over[comp]))
         staging = path + "__compacting"
         df.repartition(target_files, key).sortWithinPartitions(key).write.mode("overwrite").parquet(staging)
         stats[f"{comp}_rows"] = spark.read.schema(schema).parquet(staging).count()
@@ -371,7 +386,7 @@ def compact_index(spark, index_root: str, target_files: int = 8) -> dict:
         if os.path.exists(path):
             os.rename(path, old)
         os.rename(path + "__compacting", path)
-        for e in incomplete[comp]:
+        for e in carry_over[comp]:
             os.rename(os.path.join(old, e), os.path.join(path, e))
         _shutil.rmtree(old, ignore_errors=True)
     return stats
@@ -460,16 +475,32 @@ def connected_components(
     a tiny edge set. 2M edges ≈ 32 MB in one task, a few seconds of
     union-find vs 3-4 Spark jobs per saved round. 0 disables (pure
     iterative path, exercised by tests)."""
-    # canonical undirected edge (u < v), self-loops dropped
-    e = (
+    # canonical undirected edge (u <= v); ONE distinct shuffle, keeping
+    # self-loops so their nodes can be labeled (contract: every node that
+    # appears in ``edges`` gets a label)
+    canon = (
         edges.select(
             F.least(F.col(src), F.col(dst)).cast("long").alias("u"),
             F.greatest(F.col(src), F.col(dst)).cast("long").alias("v"),
         )
-        .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # nodes whose ONLY edges are self-loops become singletons at the end
+    # (tiny independent checkpoint — usually empty); the rounds never see
+    # self-loops
+    loop_nodes = (
+        canon.where(F.col("u") == F.col("v"))
+        .select(F.col("u").alias("node"))
+        .localCheckpoint(eager=True)
+    )
+    e = canon.where(F.col("u") != F.col("v"))
+
+    def _with_loop_singletons(labels: DataFrame) -> DataFrame:
+        extra = loop_nodes.join(labels, "node", "left_anti").select(
+            "node", F.col("node").alias("component")
+        )
+        return labels.unionByName(extra)
 
     def _is_star_forest(edge_df: DataFrame) -> bool:
         # star forest <=> every node is a pure root (never a child) or a
@@ -489,9 +520,10 @@ def connected_components(
     converged = False
     for _ in range(max_iter):
         if local_finish_edges > 0 and e.count() <= local_finish_edges:
-            out = _cc_local_finish(e)
+            out = _with_loop_singletons(_cc_local_finish(e))
             out = out.localCheckpoint(eager=True)
             e.unpersist()
+            canon.unpersist()
             return out
         if _is_star_forest(e):
             converged = True
@@ -532,6 +564,5 @@ def connected_components(
     labels = e.selectExpr("v node", "u component").unionByName(
         e.selectExpr("u node", "u component")
     )
-    out = labels.distinct()
-    e.unpersist()
+    out = _with_loop_singletons(labels.distinct())
     return out

@@ -307,12 +307,29 @@ def stream_stream_fix_event_join(
         & (F.col(f"ev.{ev_ts}") >= F.col(f"fx.{fix_ts}") - F.expr(f"INTERVAL {int(bound_sec)} SECONDS"))
         & (F.col(f"ev.{ev_ts}") <= F.col(f"fx.{fix_ts}") + F.expr(f"INTERVAL {int(bound_sec)} SECONDS"))
     )
+    # passthrough columns shared by BOTH sides (or colliding with the
+    # key/ts outputs) get a side prefix — otherwise the output frame
+    # would carry duplicate names and any select/write downstream fails
+    # with an ambiguous-reference error
+    fx_extra = [c for c in fixes.columns if c not in (id_col, fix_ts)]
+    ev_extra = [c for c in events.columns if c not in (id_col, ev_ts)]
+    taken = {id_col, fix_ts, ev_ts}
+
+    def _out_names(cols, other, prefix):
+        names = []
+        for c in cols:
+            name = f"{prefix}_{c}" if (c in other or c in taken) else c
+            names.append(name)
+        return names
+
+    fx_names = _out_names(fx_extra, set(ev_extra), "fx")
+    ev_names = _out_names(ev_extra, set(fx_extra), "ev")
     return f.join(e, cond, "inner").select(
         F.col(f"fx.{id_col}").alias(id_col),
         F.col(f"fx.{fix_ts}").alias(fix_ts),
         F.col(f"ev.{ev_ts}").alias(ev_ts),
-        *[F.col(f"fx.{c}").alias(c) for c in fixes.columns if c not in (id_col, fix_ts)],
-        *[F.col(f"ev.{c}").alias(c) for c in events.columns if c not in (id_col, ev_ts)],
+        *[F.col(f"fx.{c}").alias(n) for c, n in zip(fx_extra, fx_names)],
+        *[F.col(f"ev.{c}").alias(n) for c, n in zip(ev_extra, ev_names)],
     )
 
 

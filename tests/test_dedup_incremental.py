@@ -230,6 +230,52 @@ def test_replay_after_compaction_is_idempotent(spark, tmp_path):
     assert dedup._read_or_empty(spark, bands_path, dedup.BANDS_SCHEMA).count() == rows_before
 
 
+def test_compact_carries_over_half_committed_batch(spark, tmp_path):
+    """Crash between a partitioned batch's bands and gsets writes, then
+    compaction: the batch is committed in ONE component only, so it must
+    NOT be marked absorbed (a replay would skip the missing half's write
+    and lose its gram sets permanently — every future pair against those
+    docs would silently drop at the verify join). The committed half
+    carries over as a subdir; the replay overwrites both; a later batch
+    sees populations identical to a never-crashed control index."""
+    import glob
+    import shutil as sh
+
+    cap = 1_000_000
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        F.col("doc_id").cast("long"), "text"
+    )
+    batches = [docs.where(F.col("doc_id") % 3 == r) for r in range(3)]
+    crash_root = str(tmp_path / "idx_crash")
+    control_root = str(tmp_path / "idx_ctrl")
+    for root in (crash_root, control_root):
+        for i, b in enumerate(batches[:2]):
+            dedup.dedupe_and_append(b, root, bucket_cap=cap, partition=f"batch-{i}")
+    # simulate the crash: batch-1's gsets write never happened
+    sh.rmtree(os.path.join(crash_root, "gsets", "batch-1"))
+
+    dedup.compact_index(spark, crash_root, target_files=2)
+    assert "batch-1" not in dedup._absorbed_partitions(crash_root)
+    assert "batch-0" in dedup._absorbed_partitions(crash_root)
+    # committed half carried over verbatim, not folded into consolidated files
+    assert os.path.exists(os.path.join(crash_root, "bands", "batch-1", "_SUCCESS"))
+
+    # replay heals both halves
+    dedup.dedupe_and_append(batches[1], crash_root, bucket_cap=cap, partition="batch-1")
+    dedup.compact_index(spark, control_root, target_files=2)
+    for comp, schema in (("bands", dedup.BANDS_SCHEMA), ("gsets", dedup.GSETS_SCHEMA)):
+        got = dedup._read_or_empty(spark, os.path.join(crash_root, comp), schema)
+        want = dedup._read_or_empty(spark, os.path.join(control_root, comp), schema)
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0
+
+    # and a later batch produces identical pairs on both indexes
+    got = _pairs_pdf(dedup.dedupe_and_append(batches[2], crash_root, bucket_cap=cap))
+    want = _pairs_pdf(dedup.dedupe_and_append(batches[2], control_root, bucket_cap=cap))
+    assert len(want) > 0
+    assert got[["da", "db"]].values.tolist() == want[["da", "db"]].values.tolist()
+
+
 def test_dedup_job_entrypoint_resume(spark, tmp_path, monkeypatch, capsys):
     """jobs/dedup_job.py end-to-end in-process: first submit commits the
     batch's pairs to the manifest; an identical re-submit is a no-op
@@ -298,8 +344,9 @@ def test_cc_chain_and_islands(spark):
 
 
 def test_cc_duplicate_and_self_edges(spark):
-    got = _cc(spark, [(1, 2), (2, 1), (1, 1), (2, 3), (2, 3), (3, 3)])
-    assert got == {1: 1, 2: 1, 3: 1}
+    # node 7 appears ONLY as a self-loop: still labeled (as a singleton)
+    got = _cc(spark, [(1, 2), (2, 1), (1, 1), (2, 3), (2, 3), (3, 3), (7, 7)])
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7}
 
 
 def test_cc_empty(spark):
@@ -340,8 +387,8 @@ def test_cc_random_graphs_vs_union_find(spark, local_finish_edges):
 
         touched = set()
         for a, b in edges:
+            touched.update((a, b))  # self-loop-only nodes are singletons
             if a != b:
-                touched.update((a, b))
                 ra, rb = find(a), find(b)
                 if ra != rb:
                     parent[max(ra, rb)] = min(ra, rb)

@@ -514,6 +514,48 @@ def test_length_spheroid(registered):
     assert r["pt"] == 0.0 and r["pg"] == 0.0
 
 
+def test_containment_fast_path_not_fooled_by_embedded_point(registered):
+    """The PIP fast path must dispatch on the WHOLE contained WKT: a
+    GEOMETRYCOLLECTION whose first member is an inside POINT (second
+    member outside) must answer via the exact kernel (False), and a
+    bare-syntax single-member MULTIPOINT must not be string-matched as a
+    POINT; st_x/st_y on multi-part kinds are null (JTS Point cast)."""
+    spark = registered
+    r = spark.sql("""
+        select st_contains('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))',
+                           'GEOMETRYCOLLECTION (POINT (5 5), POINT (99 99))') gc_out,
+               st_contains('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))',
+                           'GEOMETRYCOLLECTION (POINT (5 5), POINT (6 6))') gc_in,
+               st_within('MULTIPOINT (5 5)', 'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))') mp_in,
+               st_x('MULTIPOINT (3 4)') mx,
+               st_y('GEOMETRYCOLLECTION (POINT (3 4))') gy,
+               st_x('POINT (3 4)') px
+    """).collect()[0]
+    assert r["gc_out"] is False
+    assert r["gc_in"] is True
+    assert r["mp_in"] is True
+    assert r["mx"] is None and r["gy"] is None
+    assert r["px"] == 3.0
+
+
+def test_indexed_accessors_null_index(registered):
+    """A SQL NULL in the index column yields null rows, not a poisoned
+    Arrow batch (NaN reaches the UDF as float, not None)."""
+    spark = registered
+    df = spark.createDataFrame(
+        [("LINESTRING (0 0, 1 1, 2 2)", None), ("LINESTRING (0 0, 1 1, 2 2)", 2)],
+        "wkt string, n int",
+    )
+    df.createOrReplaceTempView("null_idx_t")
+    rows = spark.sql("""
+        select st_pointN(wkt, n) p, st_geometryN(wkt, n) g,
+               st_interiorRingN('POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))', n) r
+        from null_idx_t order by n nulls first
+    """).collect()
+    assert rows[0]["p"] is None and rows[0]["g"] is None and rows[0]["r"] is None
+    assert rows[1]["p"] == "POINT (1 1)"
+
+
 def test_closest_point_intersection_witness(registered):
     """ADVICE fix: when geometries intersect, st_closestPoint returns an
     actual point of A ∩ B (JTS DistanceOp), not just A's first vertex."""

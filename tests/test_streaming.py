@@ -412,3 +412,27 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     a_s = out[key].sort_values(key).reset_index(drop=True)
     b_s = b[key].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a_s, b_s)
+
+
+def test_stream_stream_join_prefixes_shared_columns(spark):
+    """Passthrough columns present on BOTH sides (or named like the key
+    outputs) get side prefixes instead of emitting duplicate column
+    names that poison any downstream select/write."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    fx = spark.createDataFrame(
+        [("u1", base, 1.0, "f")], "url string, warc_ts timestamp, lat double, src string"
+    )
+    ev = spark.createDataFrame(
+        [("u1", base, 2.0, "e")], "url string, ev_ts timestamp, lat double, src string"
+    )
+    out = live.stream_stream_fix_event_join(fx, ev, bound_sec=300, watermark="2 hours")
+    assert len(out.columns) == len(set(out.columns)), out.columns
+    assert {"fx_lat", "ev_lat", "fx_src", "ev_src"} <= set(out.columns)
+    row = out.collect()[0]
+    assert row["fx_lat"] == 1.0 and row["ev_lat"] == 2.0
+    # unambiguous passthroughs keep their bare names
+    fx2 = spark.createDataFrame([("u1", base, 9.9)], "url string, warc_ts timestamp, lon double")
+    out2 = live.stream_stream_fix_event_join(fx2, ev, bound_sec=300, watermark="2 hours")
+    assert "lon" in out2.columns and "ev_lat" not in out2.columns and "lat" in out2.columns
