@@ -514,9 +514,9 @@ def points_on_segments(px, py, x1, y1, x2, y2) -> np.ndarray:
     return ((o == 0.0) & inx & iny).any(axis=1)
 
 
-def segment_sets_relate(a_edges, b_edges) -> tuple[bool, bool, bool]:
-    """(any_proper_cross, any_touch, any_collinear_overlap) between two
-    edge sets (each a 4-tuple of arrays). Vectorized n_a x n_b.
+def segment_contact_matrices(a_edges, b_edges) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-pair (proper_cross, touch, collinear_overlap) boolean matrices
+    (n_a x n_b) between two edge sets (each a 4-tuple of arrays).
 
     proper cross     — interiors cross transversally (strict sign test)
     touch            — contact that includes an endpoint / collinear point
@@ -553,6 +553,13 @@ def segment_sets_relate(a_edges, b_edges) -> tuple[bool, bool, bool]:
         overlap = collinear & (np.minimum(ahi, bhi) > np.maximum(alo, blo))
     else:
         overlap = np.zeros_like(collinear)
+    return proper, touch, overlap
+
+
+def segment_sets_relate(a_edges, b_edges) -> tuple[bool, bool, bool]:
+    """(any_proper_cross, any_touch, any_collinear_overlap) between two
+    edge sets — the scalar reduction of segment_contact_matrices."""
+    proper, touch, overlap = segment_contact_matrices(a_edges, b_edges)
     return bool(proper.any()), bool(touch.any()), bool(overlap.any())
 
 
@@ -1364,3 +1371,416 @@ def multipolygon_parts(coords: np.ndarray, ring_offsets: np.ndarray) -> list[tup
             if shell is not None:
                 parts[shell_part[shell]][1].append(i)
     return parts
+
+
+# ---------------------------------------------------------------------------
+# Simplicity / validity / boundary / overlay kernels
+# (st_isSimple, st_isValid, st_boundary, st_intersection, st_difference —
+# SQLSpatialRelationFunctions / SQLGeometryProcessingFunctions analogs)
+# ---------------------------------------------------------------------------
+
+
+def line_edges(coords: np.ndarray):
+    """(x1, y1, x2, y2) edge arrays of one open polyline."""
+    c = np.asarray(coords, dtype=np.float64)
+    return c[:-1, 0], c[:-1, 1], c[1:, 0], c[1:, 1]
+
+
+def is_simple_line(coords: np.ndarray) -> bool:
+    """JTS isSimple for one LINESTRING: no self-intersection except the
+    shared vertex of consecutive segments and (for a closed line) the
+    start=end closure point. Straight segments meet in at most one point
+    unless collinear, so 'touches beyond the shared endpoint' always
+    surfaces as a proper cross or a collinear overlap — both checked."""
+    c = np.asarray(coords, dtype=np.float64)
+    if len(c) < 3:
+        return True
+    proper, touch, overlap = segment_contact_matrices(line_edges(c), line_edges(c))
+    n = len(c) - 1  # segment count
+    idx = np.arange(n)
+    adjacent = np.abs(idx[:, None] - idx[None, :]) <= 1
+    closed = bool((c[0] == c[-1]).all())
+    closure = np.zeros((n, n), dtype=bool)
+    if closed and n > 1:
+        closure[0, n - 1] = closure[n - 1, 0] = True
+    far = ~adjacent & ~closure
+    if (proper | touch | overlap)[far].any():
+        return False
+    if overlap[adjacent & ~np.eye(n, dtype=bool)].any():  # spike / backtrack
+        return False
+    if closed and (proper | overlap)[closure].any():
+        return False
+    return True
+
+
+def _line_endpoints(coords: np.ndarray) -> set[tuple[float, float]]:
+    c = np.asarray(coords, dtype=np.float64)
+    return {(float(c[0, 0]), float(c[0, 1])), (float(c[-1, 0]), float(c[-1, 1]))}
+
+
+def is_simple(kind: str, coords, ring_offsets) -> bool:
+    """SFS simplicity. Polygonal kinds are simple by definition;
+    MULTIPOINT requires distinct members; (multi)linestrings require
+    each part simple and inter-part contact only where BOTH parts have a
+    line endpoint (the JTS boundary-contact rule; a contact point is
+    always a vertex of one part on the other, since two straight
+    segments cannot meet transversally without a proper cross)."""
+    if kind in ("POINT", "POLYGON", "MULTIPOLYGON"):
+        return True
+    if kind == "MULTIPOINT":
+        c = np.asarray(coords, dtype=np.float64)
+        return len(np.unique(c, axis=0)) == len(c)
+    if kind == "GEOMETRYCOLLECTION":
+        return all(is_simple(*m) for m in coords)
+    parts = [coords[ring_offsets[r]:ring_offsets[r + 1]] for r in range(len(ring_offsets) - 1)]
+    if not all(is_simple_line(p) for p in parts):
+        return False
+    for i in range(len(parts)):
+        for j in range(i + 1, len(parts)):
+            a, b = parts[i], parts[j]
+            proper, _touch, overlap = segment_contact_matrices(line_edges(a), line_edges(b))
+            if proper.any() or overlap.any():
+                return False
+            ea, eb = _line_endpoints(a), _line_endpoints(b)
+            for va, vb, other in ((a, b, eb), (b, a, ea)):
+                on = points_on_segments(va[:, 0], va[:, 1], *line_edges(vb))
+                for x, y in np.asarray(va, dtype=np.float64)[on]:
+                    pt = (float(x), float(y))
+                    if pt not in ea or pt not in eb:
+                        return False
+    return True
+
+
+def ring_is_valid(ring: np.ndarray) -> bool:
+    """Closed, >= 4 points, >= 3 distinct vertices, no self-intersection."""
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) < 4 or not (r[0] == r[-1]).all():
+        return False
+    if len(np.unique(r[:-1], axis=0)) < 3:
+        return False
+    return is_simple_line(r)
+
+
+def is_valid(kind: str, coords, ring_offsets) -> bool:
+    """OGC validity, exact for the dominant failure modes: ring closure /
+    degeneracy / self-intersection, ring-ring proper crossing or
+    collinear overlap, holes escaping their shell, a hole swallowing the
+    shell. (Not checked: interior connectedness when rings touch at
+    multiple points — rare and expensive; documented.)"""
+    if kind == "POINT":
+        return bool(np.isfinite(np.asarray(coords, dtype=np.float64)).all())
+    if kind in ("MULTIPOINT",):
+        return True
+    if kind in ("LINESTRING", "MULTILINESTRING"):
+        parts = [coords[ring_offsets[r]:ring_offsets[r + 1]] for r in range(len(ring_offsets) - 1)]
+        return all(len(np.unique(np.asarray(p), axis=0)) >= 2 for p in parts)
+    if kind == "GEOMETRYCOLLECTION":
+        return all(is_valid(*m) for m in coords)
+    # POLYGON / MULTIPOLYGON: flat ring list
+    nrings = len(ring_offsets) - 1
+    rings = [coords[ring_offsets[r]:ring_offsets[r + 1]] for r in range(nrings)]
+    if not all(ring_is_valid(r) for r in rings):
+        return False
+    for i in range(nrings):
+        for j in range(i + 1, nrings):
+            proper, _t, overlap = segment_contact_matrices(line_edges(rings[i]), line_edges(rings[j]))
+            if proper.any() or overlap.any():
+                return False
+    if kind == "POLYGON" and nrings > 1:
+        shell, shell_offs = rings[0], np.asarray([0, len(rings[0])])
+        for hole in rings[1:]:
+            cls = classify_points_in_polygon(hole[:-1, 0], hole[:-1, 1], shell, shell_offs)
+            if (cls == 0).any():  # hole vertex strictly outside the shell
+                return False
+            hole_offs = np.asarray([0, len(hole)])
+            scls = classify_points_in_polygon(shell[:-1, 0], shell[:-1, 1], hole, hole_offs)
+            if (scls == 2).any():  # shell swallowed by its own hole
+                return False
+    return True
+
+
+def boundary_wkt(kind: str, coords, ring_offsets) -> str:
+    """Combinatorial boundary (JTS getBoundary): points -> empty,
+    (multi)linestrings -> mod-2 endpoint MULTIPOINT, polygons -> ring
+    linework, collections -> member boundaries."""
+    if kind in ("POINT", "MULTIPOINT"):
+        return "GEOMETRYCOLLECTION EMPTY"
+    if kind in ("LINESTRING", "MULTILINESTRING"):
+        pts = line_boundary_points(np.asarray(coords, dtype=np.float64), np.asarray(ring_offsets))
+        if len(pts) == 0:
+            return "MULTIPOINT EMPTY"
+        inner = ", ".join(f"({x:.10g} {y:.10g})" for x, y in pts)
+        return f"MULTIPOINT ({inner})"
+    if kind in ("POLYGON", "MULTIPOLYGON"):
+        rings = [
+            coords[ring_offsets[r]:ring_offsets[r + 1]] for r in range(len(ring_offsets) - 1)
+        ]
+        if kind == "POLYGON" and len(rings) == 1:
+            return wkt_linestring(rings[0])
+        offs = np.concatenate([[0], np.cumsum([len(r) for r in rings])])
+        return wkt_any("MULTILINESTRING", np.concatenate(rings), offs)
+    if kind == "GEOMETRYCOLLECTION":
+        members = [boundary_wkt(*m) for m in coords]
+        members = [m for m in members if not m.endswith("EMPTY")]
+        if not members:
+            return "GEOMETRYCOLLECTION EMPTY"
+        return f"GEOMETRYCOLLECTION ({', '.join(members)})"
+    raise ValueError(kind)
+
+
+# --- convex overlay (Sutherland–Hodgman) -----------------------------------
+
+
+def ring_signed_area(ring: np.ndarray) -> float:
+    r = np.asarray(ring, dtype=np.float64)
+    x, y = r[:, 0], r[:, 1]
+    return float(0.5 * np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def is_convex_ring(ring: np.ndarray) -> bool:
+    """Closed ring with all turns the same orientation (collinear runs
+    allowed)."""
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) < 4 or not (r[0] == r[-1]).all():
+        return False
+    p = r[:-1]
+    a, b, c = p, np.roll(p, -1, axis=0), np.roll(p, -2, axis=0)
+    cross = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+    return bool((cross >= 0).all() or (cross <= 0).all())
+
+
+def _ccw_ring(ring: np.ndarray) -> np.ndarray:
+    r = np.asarray(ring, dtype=np.float64)
+    return r if ring_signed_area(r) >= 0 else r[::-1]
+
+
+def clip_ring_halfplane(ring: np.ndarray, ax: float, ay: float, bx: float, by: float) -> np.ndarray | None:
+    """Sutherland–Hodgman step: keep the part of the (closed) ring on or
+    left of the directed line a->b. Returns a closed ring or None."""
+    pts = np.asarray(ring, dtype=np.float64)[:-1]
+    out: list[tuple[float, float]] = []
+    n = len(pts)
+
+    def side(px, py):
+        return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+    for i in range(n):
+        cx, cy = pts[i]
+        nx_, ny_ = pts[(i + 1) % n]
+        sc, sn = side(cx, cy), side(nx_, ny_)
+        if sc >= 0:
+            out.append((cx, cy))
+        if (sc > 0 and sn < 0) or (sc < 0 and sn > 0):
+            t = sc / (sc - sn)
+            out.append((cx + t * (nx_ - cx), cy + t * (ny_ - cy)))
+    if len(out) < 3:
+        return None
+    closed = np.asarray(out + [out[0]], dtype=np.float64)
+    if abs(ring_signed_area(closed)) == 0.0:
+        return None
+    return closed
+
+
+def convex_clip(subject_ring: np.ndarray, clip_ring: np.ndarray) -> np.ndarray | None:
+    """Clip a ring by a CONVEX ring (Sutherland–Hodgman). Exact when the
+    result is connected (always true for convex subjects). Returns a
+    closed ring or None when the intersection has zero area."""
+    clip = _ccw_ring(clip_ring)
+    cur: np.ndarray | None = np.asarray(subject_ring, dtype=np.float64)
+    for i in range(len(clip) - 1):
+        if cur is None:
+            return None
+        cur = clip_ring_halfplane(cur, clip[i, 0], clip[i, 1], clip[i + 1, 0], clip[i + 1, 1])
+    return cur
+
+
+def convex_polygon_intersection(a_ring: np.ndarray, b_ring: np.ndarray) -> np.ndarray | None:
+    """Intersection ring of two rings where at least one is convex (the
+    convex one clips; intersection is symmetric)."""
+    if is_convex_ring(b_ring):
+        return convex_clip(a_ring, b_ring)
+    if is_convex_ring(a_ring):
+        return convex_clip(b_ring, a_ring)
+    return None  # concave×concave: unsupported (documented)
+
+
+def convex_polygon_difference(a_ring: np.ndarray, b_ring: np.ndarray) -> list[np.ndarray] | None:
+    """a_ring minus CONVEX b_ring as disjoint pieces: for the i-th edge of
+    b (CCW), piece_i = a ∩ outside(e_i) ∩ inside(e_1..i-1) — each region
+    is an intersection of half-planes, so Sutherland–Hodgman is exact for
+    convex a. Returns [] when a ⊆ b; None when b is not convex."""
+    if not is_convex_ring(b_ring):
+        return None
+    b = _ccw_ring(b_ring)
+    pieces: list[np.ndarray] = []
+    for i in range(len(b) - 1):
+        # outside(e_i): left of the REVERSED edge
+        cur = clip_ring_halfplane(
+            np.asarray(a_ring, dtype=np.float64), b[i + 1, 0], b[i + 1, 1], b[i, 0], b[i, 1]
+        )
+        for j in range(i):
+            if cur is None:
+                break
+            cur = clip_ring_halfplane(cur, b[j, 0], b[j, 1], b[j + 1, 0], b[j + 1, 1])
+        if cur is not None:
+            pieces.append(cur)
+    return pieces
+
+
+# --- line overlay ----------------------------------------------------------
+
+
+def _chain_pieces(pieces: list[np.ndarray]) -> list[np.ndarray]:
+    """Merge consecutive 2-point pieces that share endpoints into maximal
+    polylines (pieces arrive in traversal order)."""
+    out: list[np.ndarray] = []
+    for p in pieces:
+        if out and (out[-1][-1] == p[0]).all():
+            out[-1] = np.concatenate([out[-1], p[1:]])
+        else:
+            out.append(np.asarray(p, dtype=np.float64))
+    return out
+
+
+def line_clip_polygon(
+    coords: np.ndarray, pcoords: np.ndarray, poffs: np.ndarray, keep_inside: bool
+) -> list[np.ndarray]:
+    """Split a polyline at every polygon-edge crossing and keep the
+    sub-segments whose midpoints are inside (intersection; boundary
+    pieces count as inside — the polygon is closed) or strictly outside
+    (difference). Exact: crossing parameters are solved per segment."""
+    c = np.asarray(coords, dtype=np.float64)
+    ex1, ey1, ex2, ey2 = polygon_edges(np.asarray(pcoords, dtype=np.float64), np.asarray(poffs))
+    kept: list[np.ndarray] = []
+    for i in range(len(c) - 1):
+        p, q = c[i], c[i + 1]
+        dx, dy = q[0] - p[0], q[1] - p[1]
+        # segment param t where p + t*(q-p) meets each polygon edge
+        denom = dx * (ey2 - ey1) - dy * (ex2 - ex1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = ((ex1 - p[0]) * (ey2 - ey1) - (ey1 - p[1]) * (ex2 - ex1)) / denom
+            u = ((ex1 - p[0]) * dy - (ey1 - p[1]) * dx) / denom
+        ok = (denom != 0) & (t > 0) & (t < 1) & (u >= 0) & (u <= 1)
+        ts = np.concatenate([[0.0, 1.0], t[ok]])
+        ts = np.unique(ts[(ts >= 0) & (ts <= 1)])
+        for a, b in zip(ts[:-1], ts[1:]):
+            mx, my = p[0] + (a + b) / 2 * dx, p[1] + (a + b) / 2 * dy
+            cls = int(classify_points_in_polygon([mx], [my], pcoords, poffs)[0])
+            if (cls > 0) if keep_inside else (cls == 0):
+                kept.append(
+                    np.asarray([[p[0] + a * dx, p[1] + a * dy], [p[0] + b * dx, p[1] + b * dy]])
+                )
+    return _chain_pieces(kept)
+
+
+def line_line_overlay(a_coords: np.ndarray, b_coords: np.ndarray):
+    """A ∩ B for two polylines → (points, overlap_segments): transversal
+    crossings and vertex touches contribute 0-dim points; collinear
+    sub-segments contribute 1-dim pieces (their interiors are removed
+    from the point set)."""
+    a = np.asarray(a_coords, dtype=np.float64)
+    b = np.asarray(b_coords, dtype=np.float64)
+    ea, eb = line_edges(a), line_edges(b)
+    ax1, ay1, ax2, ay2 = (v[:, None] for v in ea)
+    bx1, by1, bx2, by2 = (v[None, :] for v in eb)
+    d1 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+    d2 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+    d3 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+    d4 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+    points: list[tuple[float, float]] = []
+    segs: list[np.ndarray] = []
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+    for i, j in np.argwhere(proper):
+        t = d1[i, j] / (d1[i, j] - d2[i, j])
+        points.append((float(ax1[i, 0] + t * (ax2[i, 0] - ax1[i, 0])), float(ay1[i, 0] + t * (ay2[i, 0] - ay1[i, 0]))))
+    # vertex-on-other touches (includes endpoints meeting mid-segment)
+    for va, eo in ((a, eb), (b, ea)):
+        on = points_on_segments(va[:, 0], va[:, 1], *eo)
+        points.extend((float(x), float(y)) for x, y in va[on])
+    # collinear overlaps
+    collinear = (d1 == 0) & (d2 == 0) & (d3 == 0) & (d4 == 0)
+    for i, j in np.argwhere(collinear):
+        pa = np.asarray([[ax1[i, 0], ay1[i, 0]], [ax2[i, 0], ay2[i, 0]]])
+        pb = np.asarray([[bx1[0, j], by1[0, j]], [bx2[0, j], by2[0, j]]])
+        dx, dy = pa[1] - pa[0]
+        usex = abs(dx) >= abs(dy)
+        key = 0 if usex else 1
+        lo = max(pa[:, key].min(), pb[:, key].min())
+        hi = min(pa[:, key].max(), pb[:, key].max())
+        if hi > lo:
+            # recover both coordinates by parameterizing a's segment
+            if usex:
+                t0 = (lo - pa[0, 0]) / dx if dx != 0 else 0.0
+                t1 = (hi - pa[0, 0]) / dx if dx != 0 else 0.0
+            else:
+                t0 = (lo - pa[0, 1]) / dy if dy != 0 else 0.0
+                t1 = (hi - pa[0, 1]) / dy if dy != 0 else 0.0
+            s0, s1 = sorted((t0, t1))
+            segs.append(np.asarray([pa[0] + s0 * np.asarray([dx, dy]), pa[0] + s1 * np.asarray([dx, dy])]))
+    if segs:
+        # points on an overlap piece (endpoints included) are subsumed by it
+        ex1, ey1 = np.asarray([s[0, 0] for s in segs]), np.asarray([s[0, 1] for s in segs])
+        ex2, ey2 = np.asarray([s[1, 0] for s in segs]), np.asarray([s[1, 1] for s in segs])
+        points = [
+            (x, y)
+            for x, y in dict.fromkeys(points)
+            if not points_on_segments([x], [y], ex1, ey1, ex2, ey2)[0]
+        ]
+    return list(dict.fromkeys(points)), _chain_pieces(segs)
+
+
+def line_difference_line(a_coords: np.ndarray, b_coords: np.ndarray) -> list[np.ndarray]:
+    """A minus B for polylines: remove the collinear-overlap pieces of A
+    (0-dim crossings subtract nothing from a 1-dim set)."""
+    a = np.asarray(a_coords, dtype=np.float64)
+    eb = line_edges(np.asarray(b_coords, dtype=np.float64))
+    bx1, by1, bx2, by2 = (np.asarray(v) for v in eb)
+    kept: list[np.ndarray] = []
+    for i in range(len(a) - 1):
+        p, q = a[i], a[i + 1]
+        dx, dy = q[0] - p[0], q[1] - p[1]
+        cuts = [(0.0, False)]
+        # collinear b-segments projected onto a's parameter
+        d1 = (bx2 - bx1) * (p[1] - by1) - (by2 - by1) * (p[0] - bx1)
+        d2 = (bx2 - bx1) * (q[1] - by1) - (by2 - by1) * (q[0] - bx1)
+        L2 = dx * dx + dy * dy
+        removed: list[tuple[float, float]] = []
+        if L2 > 0:
+            for j in np.nonzero((d1 == 0) & (d2 == 0))[0]:
+                t0 = ((bx1[j] - p[0]) * dx + (by1[j] - p[1]) * dy) / L2
+                t1 = ((bx2[j] - p[0]) * dx + (by2[j] - p[1]) * dy) / L2
+                lo, hi = max(min(t0, t1), 0.0), min(max(t0, t1), 1.0)
+                if hi > lo:
+                    removed.append((lo, hi))
+        removed.sort()
+        cur = 0.0
+        for lo, hi in removed:
+            if lo > cur:
+                kept.append(np.asarray([p + cur * np.asarray([dx, dy]), p + lo * np.asarray([dx, dy])]))
+            cur = max(cur, hi)
+        if cur < 1.0:
+            kept.append(np.asarray([p + cur * np.asarray([dx, dy]), p + 1.0 * np.asarray([dx, dy])]))
+    return _chain_pieces(kept)
+
+
+# --- CRS transform (EPSG:4326 <-> EPSG:3857) --------------------------------
+
+_R_MERC = 6378137.0
+
+
+def transform_coords(coords: np.ndarray, src: str, dst: str) -> np.ndarray | None:
+    """Web-Mercator reprojection (the one transform pair a tiling engine
+    needs offline; other EPSG codes return None → SQL null)."""
+    c = np.asarray(coords, dtype=np.float64)
+    src, dst = src.upper(), dst.upper()
+    if src == dst:
+        return c
+    if src == "EPSG:4326" and dst == "EPSG:3857":
+        x = np.radians(c[:, 0]) * _R_MERC
+        y = np.log(np.tan(np.pi / 4.0 + np.radians(np.clip(c[:, 1], -85.06, 85.06)) / 2.0)) * _R_MERC
+        return np.column_stack([x, y])
+    if src == "EPSG:3857" and dst == "EPSG:4326":
+        lon = np.degrees(c[:, 0] / _R_MERC)
+        lat = np.degrees(2.0 * np.arctan(np.exp(c[:, 1] / _R_MERC)) - np.pi / 2.0)
+        return np.column_stack([lon, lat])
+    return None

@@ -264,8 +264,40 @@ def st_area(wkt: pd.Series) -> pd.Series:
     return _per_unique(wkt, area, np.float64)
 
 
+def _planar_len(coords: np.ndarray) -> float:
+    d = np.diff(np.asarray(coords, dtype=np.float64), axis=0)
+    return float(np.sqrt((d * d).sum(axis=1)).sum())
+
+
 @F.pandas_udf(DoubleType())
 def st_length(wkt: pd.Series) -> pd.Series:
+    """JTS getLength parity: 2-D path length of linear geometries and
+    PERIMETER of areal geometries, in degree units (CRS units, like
+    st_distance). The meters variants are st_lengthSphere /
+    st_lengthSpheroid."""
+
+    def ln(kind, coords, offs):
+        if kind == "POINT":
+            return 0.0
+        if kind == "GEOMETRYCOLLECTION":
+            return float(sum(ln(k2, c2, o2) for k2, c2, o2 in geo.geom_parts(kind, coords, offs)))
+        if kind == "MULTIPOINT":
+            return 0.0
+        # linestrings and polygon rings alike: sum per stored part/ring
+        return float(
+            sum(_planar_len(coords[offs[r]:offs[r + 1]]) for r in range(len(offs) - 1))
+        )
+
+    return _per_unique(wkt, ln, np.float64)
+
+
+@F.pandas_udf(DoubleType())
+def st_lengthSphere(wkt: pd.Series) -> pd.Series:
+    """Great-circle (mean-radius haversine) path length of a LINESTRING in
+    meters (the reference's st_lengthSphere; st_lengthSpheroid is the
+    exact-ellipsoid variant). MULTILINESTRING/collections sum member
+    linestrings; other kinds are 0."""
+
     def ln(kind, coords, offs):
         if kind == "LINESTRING":
             return float(
@@ -731,6 +763,384 @@ def st_idlSafeGeom(wkt: pd.Series) -> pd.Series:
     return _per_unique(wkt, split, object)
 
 
+# --- predicates / boundary / overlay ----------------------------------------
+
+
+def _is_empty_wkt(w: str) -> bool:
+    return w.strip().upper().endswith("EMPTY")
+
+
+@F.pandas_udf(BooleanType())
+def st_isEmpty(wkt: pd.Series) -> pd.Series:
+    """True for '<KIND> EMPTY' WKT, False for any parseable geometry,
+    null otherwise."""
+    cache = _parse_cache(wkt)
+
+    def chk(w):
+        if w is None:
+            return None
+        if _is_empty_wkt(w):
+            return True
+        return False if cache.get(w) is not None else None
+
+    return wkt.map(chk)
+
+
+@F.pandas_udf(BooleanType())
+def st_isCollection(wkt: pd.Series) -> pd.Series:
+    return _per_unique(
+        wkt,
+        lambda k, c, o: k in ("MULTIPOINT", "MULTILINESTRING", "MULTIPOLYGON", "GEOMETRYCOLLECTION"),
+        object,
+    )
+
+
+@F.pandas_udf(BooleanType())
+def st_isClosed(wkt: pd.Series) -> pd.Series:
+    """LINESTRING / MULTILINESTRING: start and end points coincide (every
+    member, for multis). Other kinds: True (reference parity)."""
+
+    def closed(kind, coords, offs):
+        if kind not in ("LINESTRING", "MULTILINESTRING"):
+            return True
+        return all(
+            bool((coords[offs[r]] == coords[offs[r + 1] - 1]).all()) for r in range(len(offs) - 1)
+        )
+
+    return _per_unique(wkt, closed, object)
+
+
+@F.pandas_udf(BooleanType())
+def st_isRing(wkt: pd.Series) -> pd.Series:
+    """True iff the geometry is a closed AND simple LINESTRING."""
+
+    def ring(kind, coords, offs):
+        if kind != "LINESTRING":
+            return False
+        return bool((coords[0] == coords[-1]).all()) and geo.is_simple_line(coords)
+
+    return _per_unique(wkt, ring, object)
+
+
+@F.pandas_udf(BooleanType())
+def st_isSimple(wkt: pd.Series) -> pd.Series:
+    """SFS simplicity (see geometry.is_simple: exact self-intersection
+    kernel for linework; polygonal kinds simple by definition)."""
+    return _per_unique(wkt, geo.is_simple, object)
+
+
+@F.pandas_udf(BooleanType())
+def st_isValid(wkt: pd.Series) -> pd.Series:
+    """OGC validity (see geometry.is_valid for the exact checks and the
+    one documented omission)."""
+    return _per_unique(wkt, geo.is_valid, object)
+
+
+@F.pandas_udf(StringType())
+def st_boundary(wkt: pd.Series) -> pd.Series:
+    """Combinatorial boundary (JTS getBoundary): POINT → empty, lines →
+    mod-2 endpoint MULTIPOINT, polygons → ring linework."""
+    return _per_unique(wkt, geo.boundary_wkt, object)
+
+
+def _linear_parts(kind, coords, offs):
+    return [
+        (c2, o2) for k2, c2, o2 in geo.geom_parts(kind, coords, offs) if k2 == "LINESTRING"
+    ]
+
+
+def _pieces_to_wkt(points: list, lines: list, empty: str) -> str:
+    """Assemble overlay output pieces into canonical WKT."""
+    pts = list(dict.fromkeys((float(x), float(y)) for x, y in points))
+    if not pts and not lines:
+        return empty
+    if pts and not lines:
+        if len(pts) == 1:
+            return geo.wkt_point(*pts[0])
+        inner = ", ".join(f"({x:.10g} {y:.10g})" for x, y in pts)
+        return f"MULTIPOINT ({inner})"
+    if lines and not pts:
+        if len(lines) == 1:
+            return geo.wkt_linestring(lines[0])
+        offs = np.concatenate([[0], np.cumsum([len(p) for p in lines])])
+        return geo.wkt_any("MULTILINESTRING", np.concatenate(lines), offs)
+    members = [geo.wkt_point(*p) for p in pts] + [geo.wkt_linestring(l) for l in lines]
+    return f"GEOMETRYCOLLECTION ({', '.join(members)})"
+
+
+_POINTY = ("POINT", "MULTIPOINT")
+_LINEY = ("LINESTRING", "MULTILINESTRING")
+_AREAL = ("POLYGON", "MULTIPOLYGON")
+
+
+def _overlay_intersection(ga, gb) -> str | None:
+    """A ∩ B WKT. Exact for every pairing involving points or linework
+    (any polygon shape, holes included) and for polygon×polygon when at
+    least one ring is convex and neither has holes; other polygonal
+    pairings return None (SQL null — honest unsupported, not wrong)."""
+    ka, ca, oa = ga
+    kb, cb, ob = gb
+    if kb in _POINTY and ka not in _POINTY:
+        return _overlay_intersection(gb, ga)
+    if ka in _POINTY:
+        if kb in _POINTY:
+            aset = {(float(x), float(y)) for x, y in ca}
+            keep = [p for p in ((float(x), float(y)) for x, y in cb) if p in aset]
+        else:
+            keep = [
+                (float(x), float(y))
+                for x, y in ca
+                if geo._covered_by_geom(float(x), float(y), kb, cb, ob)
+            ]
+        return _pieces_to_wkt(keep, [], "GEOMETRYCOLLECTION EMPTY")
+    if ka in _LINEY and kb in _LINEY:
+        pts: list = []
+        lines: list = []
+        for a2, _oa in _linear_parts(ka, ca, oa):
+            for b2, _ob in _linear_parts(kb, cb, ob):
+                p2, s2 = geo.line_line_overlay(a2, b2)
+                pts.extend(p2)
+                lines.extend(s2)
+        if lines:  # cross-part dedupe: points on any overlap piece are subsumed
+            ex1 = np.asarray([s[0, 0] for s in lines])
+            ey1 = np.asarray([s[0, 1] for s in lines])
+            ex2 = np.asarray([s[1, 0] for s in lines])
+            ey2 = np.asarray([s[1, 1] for s in lines])
+            pts = [p for p in pts if not geo.points_on_segments([p[0]], [p[1]], ex1, ey1, ex2, ey2)[0]]
+        return _pieces_to_wkt(pts, lines, "GEOMETRYCOLLECTION EMPTY")
+    if (ka in _LINEY and kb in _AREAL) or (ka in _AREAL and kb in _LINEY):
+        (lk, lc, lo), (pk, pc, po) = (ga, gb) if ka in _LINEY else (gb, ga)
+        lines = []
+        for c2, _o2 in _linear_parts(lk, lc, lo):
+            lines.extend(geo.line_clip_polygon(c2, pc, po, True))
+        return _pieces_to_wkt([], lines, "GEOMETRYCOLLECTION EMPTY")
+    if ka in _AREAL and kb in _AREAL:
+        if ka != "POLYGON" or kb != "POLYGON" or len(oa) != 2 or len(ob) != 2:
+            return None  # holes / multipolygons: unsupported overlay
+        ring = geo.convex_polygon_intersection(ca, cb)
+        if ring is None:
+            if geo.is_convex_ring(ca) or geo.is_convex_ring(cb):
+                return "POLYGON EMPTY"
+            return None
+        return geo.wkt_polygon(ring, np.asarray([0, len(ring)]))
+    return None
+
+
+def _overlay_difference(ga, gb) -> str | None:
+    """A \\ B WKT. Subtracting a lower-dimension geometry is identity;
+    point and line subjects are exact for any B; polygon minus polygon
+    requires both rings convex (piecewise half-plane decomposition,
+    exact)."""
+    ka, ca, oa = ga
+    kb, cb, ob = gb
+    dim = {"POINT": 0, "MULTIPOINT": 0, "LINESTRING": 1, "MULTILINESTRING": 1, "POLYGON": 2, "MULTIPOLYGON": 2}
+    if ka == "GEOMETRYCOLLECTION" or kb == "GEOMETRYCOLLECTION":
+        return None
+    if dim[kb] < dim[ka]:
+        return geo.wkt_any(ka, ca, oa)  # measure-zero subtraction
+    if ka in _POINTY:
+        keep = [
+            (float(x), float(y))
+            for x, y in ca
+            if not geo._covered_by_geom(float(x), float(y), kb, cb, ob)
+        ]
+        return _pieces_to_wkt(keep, [], "GEOMETRYCOLLECTION EMPTY")
+    if ka in _LINEY:
+        if kb in _AREAL:
+            lines = []
+            for c2, _o2 in _linear_parts(ka, ca, oa):
+                lines.extend(geo.line_clip_polygon(c2, cb, ob, False))
+            return _pieces_to_wkt([], lines, "GEOMETRYCOLLECTION EMPTY")
+        lines = []
+        for a2, _oa in _linear_parts(ka, ca, oa):
+            pieces = [a2]
+            for b2, _ob in _linear_parts(kb, cb, ob):
+                pieces = [seg for p in pieces for seg in geo.line_difference_line(p, b2)]
+            lines.extend(pieces)
+        return _pieces_to_wkt([], lines, "GEOMETRYCOLLECTION EMPTY")
+    if ka != "POLYGON" or kb != "POLYGON" or len(oa) != 2 or len(ob) != 2:
+        return None
+    if not geo.is_convex_ring(ca):
+        return None  # Sutherland–Hodgman pieces are exact only for convex subjects
+    pieces = geo.convex_polygon_difference(ca, cb)
+    if pieces is None:
+        return None
+    if not pieces:
+        return "POLYGON EMPTY"
+    if len(pieces) == 1:
+        return geo.wkt_polygon(pieces[0], np.asarray([0, len(pieces[0])]))
+    inner = ", ".join(
+        "((" + ", ".join(f"{x:.10g} {y:.10g}" for x, y in r) + "))" for r in pieces
+    )
+    return f"MULTIPOLYGON ({inner})"
+
+
+@F.pandas_udf(StringType())
+def st_intersection(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
+    """Geometric intersection — see _overlay_intersection for the exact
+    supported pairings (null, never an approximation, outside them)."""
+    return pd.Series(_per_unique_pair(a_wkt, b_wkt, _overlay_intersection))
+
+
+@F.pandas_udf(StringType())
+def st_difference(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
+    """Geometric difference A \\ B — see _overlay_difference for the exact
+    supported pairings (null outside them)."""
+    return pd.Series(_per_unique_pair(a_wkt, b_wkt, _overlay_difference))
+
+
+@F.pandas_udf(StringType())
+def st_transform(wkt: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
+    """CRS reprojection for the web-mapping pair EPSG:4326 ↔ EPSG:3857
+    (identity for equal codes; null for unsupported codes)."""
+    cache = _parse_cache(wkt)
+    out = []
+    for w, s, d in zip(wkt.to_numpy(object), src.to_numpy(object), dst.to_numpy(object)):
+        g = cache.get(w)
+        if g is None or s is None or d is None:
+            out.append(None)
+            continue
+        k, c, o = g
+        if k == "GEOMETRYCOLLECTION":
+            ms = [geo.transform_coords(m[1], s, d) for m in c]
+            if any(m is None for m in ms):
+                out.append(None)
+                continue
+            members = [(m0[0], mc, m0[2]) for m0, mc in zip(c, ms)]
+            out.append(
+                "GEOMETRYCOLLECTION (" + ", ".join(geo.wkt_any(*m) for m in members) + ")"
+            )
+            continue
+        t = geo.transform_coords(c, s, d)
+        out.append(None if t is None else geo.wkt_any(k, t, o))
+    return pd.Series(out)
+
+
+# --- extra constructors / outputs -------------------------------------------
+
+
+@F.pandas_udf(StringType())
+def st_makeBox2D(ll_wkt: pd.Series, ur_wkt: pd.Series) -> pd.Series:
+    """Two POINTs (lower-left, upper-right) → bbox POLYGON."""
+    pa = ll_wkt.str.extract(_POINT_ONLY, expand=True).astype(np.float64)
+    pb = ur_wkt.str.extract(_POINT_ONLY, expand=True).astype(np.float64)
+    out = []
+    for x0, y0, x1, y1 in zip(pa[0], pa[1], pb[0], pb[1]):
+        if np.isnan(x0) or np.isnan(x1):
+            out.append(None)
+            continue
+        ring = geo.make_bbox_ring(x0, y0, x1, y1)
+        out.append(geo.wkt_polygon(ring, np.asarray([0, len(ring)])))
+    return pd.Series(out)
+
+
+@F.pandas_udf(StringType())
+def st_makePointM(x: pd.Series, y: pd.Series, m: pd.Series) -> pd.Series:
+    """POINT M constructor (measure kept in WKT; 2-D ops project it away,
+    matching the parser's dimensioned-WKT handling)."""
+    out = []
+    for xv, yv, mv in zip(x.to_numpy(object), y.to_numpy(object), m.to_numpy(object)):
+        if xv is None or yv is None or mv is None or (isinstance(xv, float) and np.isnan(xv)):
+            out.append(None)
+            continue
+        out.append(f"POINT M ({float(xv):.10g} {float(yv):.10g} {float(mv):.10g})")
+    return pd.Series(out)
+
+
+@F.pandas_udf(StringType())
+def st_pointFromWKB(wkb: pd.Series) -> pd.Series:
+    """WKB → POINT (null for any other WKB kind)."""
+
+    def rd(b):
+        if b is None:
+            return None
+        try:
+            k, c, o = geo.wkb_read(bytes(b))
+            return geo.wkt_any(k, c, o) if k == "POINT" else None
+        except Exception:
+            return None
+
+    return wkb.map(rd)
+
+
+def _geojson_to_geom(obj):
+    """GeoJSON geometry dict → (kind, coords, ring_offsets)."""
+    t = obj["type"]
+    if t == "Point":
+        c = np.asarray([obj["coordinates"][:2]], dtype=np.float64)
+        return "POINT", c, np.asarray([0, 1])
+    if t == "MultiPoint":
+        c = np.asarray([p[:2] for p in obj["coordinates"]], dtype=np.float64)
+        return "MULTIPOINT", c, np.arange(len(c) + 1)
+    if t == "LineString":
+        c = np.asarray([p[:2] for p in obj["coordinates"]], dtype=np.float64)
+        return "LINESTRING", c, np.asarray([0, len(c)])
+    if t == "MultiLineString":
+        parts = [np.asarray([p[:2] for p in part], dtype=np.float64) for part in obj["coordinates"]]
+        offs = np.concatenate([[0], np.cumsum([len(p) for p in parts])])
+        return "MULTILINESTRING", np.concatenate(parts), offs
+    if t == "Polygon":
+        rings = [np.asarray([p[:2] for p in ring], dtype=np.float64) for ring in obj["coordinates"]]
+        offs = np.concatenate([[0], np.cumsum([len(r) for r in rings])])
+        return "POLYGON", np.concatenate(rings), offs
+    if t == "MultiPolygon":
+        rings = [
+            np.asarray([p[:2] for p in ring], dtype=np.float64)
+            for poly in obj["coordinates"]
+            for ring in poly
+        ]
+        offs = np.concatenate([[0], np.cumsum([len(r) for r in rings])])
+        return "MULTIPOLYGON", np.concatenate(rings), offs
+    if t == "GeometryCollection":
+        return "GEOMETRYCOLLECTION", [_geojson_to_geom(m) for m in obj["geometries"]], None
+    raise ValueError(t)
+
+
+@F.pandas_udf(StringType())
+def st_geomFromGeoJSON(gj: pd.Series) -> pd.Series:
+    """GeoJSON geometry string → WKT (inverse of st_asGeoJSON)."""
+
+    def rd(s):
+        if s is None:
+            return None
+        try:
+            return geo.wkt_any(*_geojson_to_geom(json.loads(s)))
+        except Exception:
+            return None
+
+    return gj.map(rd)
+
+
+def _dms(value: float, pos: str, neg: str) -> str:
+    hemi = pos if value >= 0 else neg
+    v = abs(value)
+    d = int(v)
+    mfull = (v - d) * 60.0
+    m = int(mfull)
+    s = (mfull - m) * 60.0
+    if s >= 59.9995:  # carry so 59.9999" prints as the next minute, not 60"
+        s = 0.0
+        m += 1
+    if m >= 60:
+        m = 0
+        d += 1
+    return f"{d}°{m:02d}'{s:06.3f}\"{hemi}"
+
+
+@F.pandas_udf(StringType())
+def st_asLatLonText(wkt: pd.Series) -> pd.Series:
+    """POINT → degrees-minutes-seconds text, latitude first
+    (e.g. 40°45'00.000"N 73°58'48.000"W)."""
+    pts = wkt.str.extract(_POINT_ONLY, expand=True).astype(np.float64)
+    out = []
+    for lon, lat in zip(pts[0], pts[1]):
+        if np.isnan(lon) or np.isnan(lat):
+            out.append(None)
+            continue
+        out.append(f"{_dms(lat, 'N', 'S')} {_dms(lon, 'E', 'W')}")
+    return pd.Series(out)
+
+
 # --- output / cells ---------------------------------------------------------
 
 
@@ -924,7 +1334,25 @@ ALL_FUNCTIONS = {
     "st_numPoints": st_numPoints,
     "st_area": st_area,
     "st_length": st_length,
+    "st_lengthSphere": st_lengthSphere,
     "st_lengthSpheroid": st_lengthSpheroid,
+    "st_isEmpty": st_isEmpty,
+    "st_isCollection": st_isCollection,
+    "st_isClosed": st_isClosed,
+    "st_isRing": st_isRing,
+    "st_isSimple": st_isSimple,
+    "st_isValid": st_isValid,
+    "st_boundary": st_boundary,
+    "st_intersection": st_intersection,
+    "st_difference": st_difference,
+    "st_transform": st_transform,
+    "st_makeBox2D": st_makeBox2D,
+    "st_makePointM": st_makePointM,
+    "st_pointFromWKB": st_pointFromWKB,
+    "st_geomFromGeoJSON": st_geomFromGeoJSON,
+    "st_asLatLonText": st_asLatLonText,
+    "st_geomFromText": st_geomFromWKT,
+    "st_geometryFromText": st_geomFromWKT,
     "st_centroid": st_centroid,
     "st_exteriorRing": st_exteriorRing,
     "st_interiorRingN": st_interiorRingN,

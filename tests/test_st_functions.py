@@ -592,3 +592,132 @@ def test_contains_boundary_point_fast_path_matches_kernel(registered):
     assert r["bottom"] is False and r["top"] is False
     assert r["inside"] is True
     assert r["cov_left"] is True and r["cov_right"] is True
+
+
+def test_simplicity_validity_predicates(registered):
+    """st_isSimple / st_isValid / st_isRing / st_isClosed / st_isEmpty /
+    st_isCollection over the classic JTS cases."""
+    r = registered.sql("""
+        select st_isSimple('LINESTRING (0 0, 1 1, 2 0)') s1,
+               st_isSimple('LINESTRING (0 0, 2 2, 2 0, 0 2)') s2,
+               st_isSimple('MULTIPOINT (1 1, 1 1)') s3,
+               st_isSimple('MULTILINESTRING ((0 0, 2 2), (0 2, 2 0))') s4,
+               st_isSimple('POLYGON ((0 0, 1 0, 1 1, 0 0))') s5,
+               st_isValid('POLYGON ((0 0, 4 4, 4 0, 0 4, 0 0))') v1,
+               st_isValid('POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (2 2, 3 2, 3 3, 2 3, 2 2))') v2,
+               st_isValid('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (3 3, 6 3, 6 6, 3 6, 3 3))') v3,
+               st_isRing('LINESTRING (0 0, 1 0, 1 1, 0 0)') r1,
+               st_isRing('LINESTRING (0 0, 1 0, 1 1)') r2,
+               st_isClosed('LINESTRING (0 0, 1 0, 1 1, 0 0)') c1,
+               st_isClosed('LINESTRING (0 0, 1 1)') c2,
+               st_isClosed('POINT (1 1)') c3,
+               st_isEmpty('GEOMETRYCOLLECTION EMPTY') e1,
+               st_isEmpty('POINT (1 1)') e2,
+               st_isCollection('MULTIPOINT (1 1, 2 2)') k1,
+               st_isCollection('POINT (1 1)') k2
+    """).collect()[0]
+    assert r["s1"] is True and r["s2"] is False and r["s3"] is False
+    assert r["s4"] is False and r["s5"] is True
+    assert r["v1"] is False and r["v2"] is True and r["v3"] is False
+    assert r["r1"] is True and r["r2"] is False
+    assert r["c1"] is True and r["c2"] is False and r["c3"] is True
+    assert r["e1"] is True and r["e2"] is False
+    assert r["k1"] is True and r["k2"] is False
+
+
+def test_boundary_and_length(registered):
+    """st_boundary JTS getBoundary parity; st_length is PLANAR degrees
+    (perimeter for polygons) while st_lengthSphere is haversine meters."""
+    r = registered.sql("""
+        select st_boundary('POINT (1 2)') bp,
+               st_boundary('LINESTRING (0 0, 1 1)') bl,
+               st_boundary('LINESTRING (0 0, 1 0, 1 1, 0 0)') br,
+               st_boundary('POLYGON ((0 0, 1 0, 1 1, 0 0))') bg,
+               st_length('LINESTRING (0 0, 3 4)') l1,
+               st_length('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') l2,
+               st_length('POINT (1 1)') l3,
+               st_lengthSphere('LINESTRING (0 0, 1 0)') m1,
+               st_distanceSphere('POINT (0 0)', 'POINT (1 0)') m2
+    """).collect()[0]
+    assert r["bp"] == "GEOMETRYCOLLECTION EMPTY"
+    assert r["bl"] == "MULTIPOINT ((0 0), (1 1))"
+    assert r["br"] == "MULTIPOINT EMPTY"
+    assert r["bg"] == "LINESTRING (0 0, 1 0, 1 1, 0 0)"
+    assert r["l1"] == 5.0 and r["l2"] == 16.0 and r["l3"] == 0.0
+    assert r["m1"] == r["m2"] > 100_000
+
+
+def test_overlay_intersection_difference(registered):
+    """st_intersection / st_difference: exact pairings (point/line vs
+    anything, convex polygon clips); unsupported pairings are null."""
+    r = registered.sql("""
+        select st_intersection('POINT (2 2)', 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') i1,
+               st_intersection('LINESTRING (-1 2, 5 2)', 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') i2,
+               st_intersection('LINESTRING (0 0, 10 10)', 'LINESTRING (0 10, 10 0)') i3,
+               st_intersection('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))',
+                               'POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))') i4,
+               st_intersection('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))',
+                               'POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))') i5,
+               st_intersection('POLYGON ((0 0, 4 0, 4 4, 2 1, 0 4, 0 0))',
+                               'POLYGON ((0 5, 4 5, 4 9, 2 6, 0 9, 0 5))') i6,
+               st_difference('LINESTRING (-1 2, 5 2)', 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') d1,
+               st_difference('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))',
+                             'POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))') d2,
+               st_difference('MULTIPOINT (2 2, 9 9)', 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') d3,
+               st_difference('LINESTRING (0 0, 4 0)', 'LINESTRING (2 0, 6 0)') d4,
+               st_difference('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))',
+                             'POLYGON ((-1 -1, 5 -1, 5 5, -1 5, -1 -1))') d5
+    """).collect()[0]
+    assert r["i1"] == "POINT (2 2)"
+    assert r["i2"] == "LINESTRING (0 2, 4 2)"
+    assert r["i3"] == "POINT (5 5)"
+    assert r["i4"] == "POLYGON ((4 2, 4 4, 2 4, 2 2, 4 2))"
+    assert r["i5"] == "POLYGON EMPTY"
+    assert r["i6"] is None  # concave x concave: honest unsupported
+    assert r["d1"] == "MULTILINESTRING ((-1 2, 0 2), (4 2, 5 2))"
+    assert r["d2"] == "MULTIPOLYGON (((0 0, 4 0, 4 2, 0 2, 0 0)), ((2 2, 2 4, 0 4, 0 2, 2 2)))"
+    assert r["d3"] == "POINT (9 9)"
+    assert r["d4"] == "LINESTRING (0 0, 2 0)"
+    assert r["d5"] == "POLYGON EMPTY"
+    # difference piece areas tile the annulus exactly
+    got = geo.parse_wkt(r["d2"])
+    area = sum(
+        abs(geo.polygon_area_deg2(c, o))
+        for _k, c, o in geo.geom_parts(*got)
+    )
+    assert area == 12.0
+
+
+def test_transform_and_new_constructors(registered):
+    """st_transform 4326<->3857 round trip; st_makeBox2D / st_makePointM /
+    st_pointFromWKB / st_geomFromGeoJSON / st_asLatLonText; the
+    st_geomFromText aliases."""
+    spark = registered
+    r = spark.sql("""
+        select st_transform('POINT (0 0)', 'EPSG:4326', 'EPSG:3857') t0,
+               st_transform(st_transform('LINESTRING (-73.98 40.75, 2.35 48.85)',
+                                         'EPSG:4326', 'EPSG:3857'),
+                            'EPSG:3857', 'EPSG:4326') rt,
+               st_transform('POINT (0 0)', 'EPSG:4326', 'EPSG:32633') bad,
+               st_makeBox2D('POINT (0 0)', 'POINT (4 4)') box,
+               st_makePointM(1.5, 2.5, 7.0) pm,
+               st_x(st_makePointM(1.5, 2.5, 7.0)) pmx,
+               st_pointFromWKB(st_asBinary('POINT (3 4)')) pw,
+               st_pointFromWKB(st_asBinary('LINESTRING (0 0, 1 1)')) pwl,
+               st_geomFromGeoJSON(st_asGeoJSON('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))')) gj,
+               st_asLatLonText('POINT (-73.98 40.75)') dms,
+               st_geomFromText('POINT (1 2)') a1,
+               st_geometryFromText('LINESTRING (0 0, 1 1)') a2
+    """).collect()[0]
+    assert r["t0"] == "POINT (0 0)"
+    rt_coords = geo.parse_wkt(r["rt"])[1]
+    assert np.allclose(rt_coords, [[-73.98, 40.75], [2.35, 48.85]], atol=1e-9)
+    assert r["bad"] is None
+    assert geo.parse_wkt(r["box"])[0] == "POLYGON"
+    assert abs(abs(geo.polygon_area_deg2(*geo.parse_wkt(r["box"])[1:])) - 16.0) < 1e-12
+    assert r["pm"] == "POINT M (1.5 2.5 7)"
+    assert r["pmx"] == 1.5  # dimensioned POINT M projects to 2-D for st_x
+    assert r["pw"] == "POINT (3 4)" and r["pwl"] is None
+    assert r["gj"] == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    assert r["dms"] == "40°45'00.000\"N 73°58'48.000\"W"
+    assert r["a1"] == "POINT (1 2)" and r["a2"] == "LINESTRING (0 0, 1 1)"
