@@ -854,6 +854,105 @@ def q_track_steps(spark, sf_dir):
     )
 
 
+CLIP_X0, CLIP_X1, CLIP_Y0, CLIP_Y1 = -60.0, 40.0, -30.0, 40.0  # track-clip bbox
+
+
+@_q(
+    "track_clip_length",
+    (
+        f"with pts as ({POINTS_SQL}), s as ("
+        "select user_id, lag(lon) over w as x1, lag(lat) over w as y1, "
+        "lon as x2, lat as y2 "
+        "from pts window w as (partition by user_id order by ts, pid)"
+        "), c as ("
+        "select user_id, x1, y1, x2 - x1 as dx, y2 - y1 as dy from s where x1 is not null"
+        "), t as ("
+        "select user_id, dx, dy, "
+        "case when dx <> 0.0 then least((-60.0 - x1) / dx, (40.0 - x1) / dx) "
+        "when x1 >= -60.0 and x1 <= 40.0 then 0.0 else 1.0 end as txlo, "
+        "case when dx <> 0.0 then greatest((-60.0 - x1) / dx, (40.0 - x1) / dx) "
+        "when x1 >= -60.0 and x1 <= 40.0 then 1.0 else 0.0 end as txhi, "
+        "case when dy <> 0.0 then least((-30.0 - y1) / dy, (40.0 - y1) / dy) "
+        "when y1 >= -30.0 and y1 <= 40.0 then 0.0 else 1.0 end as tylo, "
+        "case when dy <> 0.0 then greatest((-30.0 - y1) / dy, (40.0 - y1) / dy) "
+        "when y1 >= -30.0 and y1 <= 40.0 then 1.0 else 0.0 end as tyhi "
+        "from c"
+        "), k as ("
+        "select user_id, dx, dy, greatest(0.0, txlo, tylo) as t0, "
+        "least(1.0, txhi, tyhi) as t1 from t"
+        ") select user_id, "
+        "cast(sum(case when t1 > t0 then 1 else 0 end) as bigint) as n_clipped, "
+        "cast(sum(case when t1 > t0 then "
+        "cast(round((t1 - t0) * sqrt(dx * dx + dy * dy) * 1000000.0) as bigint) "
+        "else 0 end) as bigint) as clip_len_micro "
+        "from k group by user_id "
+        "having sum(case when t1 > t0 then 1 else 0 end) > 0 order by user_id"
+    ),
+)
+def q_track_clip_length(spark, sf_dir):
+    """Per-user track length inside a bbox region: consecutive fixes form
+    segments (lag window), each clipped to the box with the Liang–Barsky
+    parametric test — pure Catalyst arithmetic, no UDF, no shuffle
+    beyond the one lag/groupBy exchange on user_id (the partitioning is
+    REUSED: lag's hash exchange satisfies the groupBy, so at 100 TB this
+    is scan → one exchange → window+agg). Lengths round to integer
+    micro-degrees per segment BEFORE the sum, keeping the checked output
+    integer-exact (module-docstring float rule). The UDF twin
+    (st_intersection → st_length over the same segments) is equality-
+    tested in tests/test_st_functions.py::test_track_clip_twin."""
+    pts = events_points(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "pid")
+    s = (
+        pts.select("user_id", "ts", "pid", "lon", "lat")
+        .withColumn("x1", F.lag("lon").over(w))
+        .withColumn("y1", F.lag("lat").over(w))
+        .where(F.col("x1").isNotNull())
+    )
+    x1, y1 = F.col("x1"), F.col("y1")
+    dx = (F.col("lon") - x1).alias("dx")
+    dy = (F.col("lat") - y1).alias("dy")
+    c = s.select("user_id", "x1", "y1", dx, dy)
+    dxc, dyc = F.col("dx"), F.col("dy")
+
+    def axis_params(d, lo_b, hi_b, p0):
+        lo = (
+            F.when(d != 0.0, F.least((F.lit(lo_b) - p0) / d, (F.lit(hi_b) - p0) / d))
+            .when((p0 >= lo_b) & (p0 <= hi_b), F.lit(0.0))
+            .otherwise(F.lit(1.0))
+        )
+        hi = (
+            F.when(d != 0.0, F.greatest((F.lit(lo_b) - p0) / d, (F.lit(hi_b) - p0) / d))
+            .when((p0 >= lo_b) & (p0 <= hi_b), F.lit(1.0))
+            .otherwise(F.lit(0.0))
+        )
+        return lo, hi
+
+    txlo, txhi = axis_params(dxc, CLIP_X0, CLIP_X1, x1)
+    tylo, tyhi = axis_params(dyc, CLIP_Y0, CLIP_Y1, y1)
+    k = c.select(
+        "user_id",
+        "dx",
+        "dy",
+        F.greatest(F.lit(0.0), txlo, tylo).alias("t0"),
+        F.least(F.lit(1.0), txhi, tyhi).alias("t1"),
+    )
+    t0, t1 = F.col("t0"), F.col("t1")
+    micro = F.when(
+        t1 > t0,
+        F.round((t1 - t0) * F.sqrt(dxc * dxc + dyc * dyc) * F.lit(1000000.0)).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    clipped = F.when(t1 > t0, F.lit(1)).otherwise(F.lit(0))
+    return (
+        k.groupBy("user_id")
+        .agg(
+            F.sum(clipped).cast("long").alias("n_clipped"),
+            F.sum(micro).cast("long").alias("clip_len_micro"),
+        )
+        .where(F.col("n_clipped") > 0)
+        .orderBy("user_id")
+    )
+
+
 TRACK_EPOCH = 1704067200  # 2024-01-01T00:00:00Z (events table year)
 TRACK_PDF = pd.DataFrame(
     {
@@ -2798,18 +2897,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pip_count_salted",
             "embed_neardup_lsh",
             "knn_crossjoin",
+            # green in r01+r02; its regex-lexer sibling token_counts_regex
+            # (never yet driver-attempted) keeps the window slot
+            "token_totals",
+            # both green in r01+r02 and operator-redundant in the window
+            # (tile_counts_equirect / pip_semi cover the same code paths);
+            # their two slots let the never-attempted rows-only queries
+            # hex_rollup + media_features into the driver window (VERDICT
+            # round-2 ask #4)
+            "tile_counts_webmercator",
+            "pip_anti_count",
         )
         if n in with_oracle
     ]
-    with_oracle = {
-        **{n: f for n, f in with_oracle.items() if n not in demoted},
-        **{n: with_oracle[n] for n in demoted},
-    }
-    # within the rows-only block, put queries never yet driver-attempted
-    # (absent from CORRECTNESS_r01/r02) ahead of already-checked ones
+    # final order: distinct-semantic oracle queries, then the two
+    # never-driver-attempted rows-only queries (these 50 fill the
+    # driver's observed attempt window), then the demoted oracle twins
+    # (still exact-value-checked by tests/test_contract.py at sf0.001
+    # every CI run), then the remaining rows-only entries
     first = [n for n in ("hex_rollup", "media_features") if n in rows_only]
-    rows_only = {**{n: rows_only[n] for n in first}, **rows_only}
-    return {**with_oracle, **rows_only}
+    return {
+        **{n: f for n, f in with_oracle.items() if n not in demoted},
+        **{n: rows_only[n] for n in first},
+        **{n: with_oracle[n] for n in demoted},
+        **{n: f for n, f in rows_only.items() if n not in first},
+    }
 
 
 def oracle_sql() -> dict[str, str]:

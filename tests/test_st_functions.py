@@ -721,3 +721,67 @@ def test_transform_and_new_constructors(registered):
     assert r["gj"] == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
     assert r["dms"] == "40°45'00.000\"N 73°58'48.000\"W"
     assert r["a1"] == "POINT (1 2)" and r["a2"] == "LINESTRING (0 0, 1 1)"
+
+
+def test_track_clip_twin(registered):
+    """The pure-Catalyst Liang–Barsky clip in the track_clip_length
+    contract query is segment-for-segment equal to the overlay-UDF route
+    (st_intersection of the segment with the bbox POLYGON → st_length →
+    micro-round): two independent float paths agreeing at micro-degree
+    granularity on every real segment."""
+    import os
+
+    from geomesa_spark import contract as CT
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    spark = registered
+    want = (
+        CT.queries()["track_clip_length"](spark, sf_dir)
+        .toPandas()
+        .set_index("user_id")["clip_len_micro"]
+    )
+    box = (
+        f"POLYGON (({CT.CLIP_X0} {CT.CLIP_Y0}, {CT.CLIP_X1} {CT.CLIP_Y0}, "
+        f"{CT.CLIP_X1} {CT.CLIP_Y1}, {CT.CLIP_X0} {CT.CLIP_Y1}, {CT.CLIP_X0} {CT.CLIP_Y0}))"
+    )
+    from pyspark.sql import Window
+
+    pts = CT.events_points(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "pid")
+    seg = (
+        pts.select("user_id", "ts", "pid", "lon", "lat")
+        .withColumn("x1", F.lag("lon").over(w))
+        .withColumn("y1", F.lag("lat").over(w))
+        .where(F.col("x1").isNotNull())
+        .withColumn(
+            "wkt",
+            F.concat(
+                F.lit("LINESTRING ("),
+                F.col("x1").cast("string"), F.lit(" "), F.col("y1").cast("string"),
+                F.lit(", "),
+                F.col("lon").cast("string"), F.lit(" "), F.col("lat").cast("string"),
+                F.lit(")"),
+            ),
+        )
+    )
+    got = (
+        seg.withColumn("piece", ST.st_intersection("wkt", F.lit(box)))
+        .withColumn(
+            "micro",
+            F.when(
+                F.col("piece").isNotNull() & ~F.col("piece").endswith("EMPTY"),
+                F.round(ST.st_length("piece") * F.lit(1000000.0)).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("micro").alias("clip_len_micro"))
+        .where(F.col("clip_len_micro") > 0)
+        .toPandas()
+        .set_index("user_id")["clip_len_micro"]
+    )
+    assert set(got.index) == set(want.index)
+    diff = (got - want).abs()
+    # two float paths may disagree by 1 micro on a segment whose length
+    # lands within an ulp of a .5-micro boundary; zero observed in the
+    # deterministic data but the bound keeps the twin honest
+    assert int(diff.max()) <= 1, diff[diff > 0]
