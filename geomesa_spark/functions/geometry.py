@@ -1393,6 +1393,12 @@ def is_simple_line(coords: np.ndarray) -> bool:
     unless collinear, so 'touches beyond the shared endpoint' always
     surfaces as a proper cross or a collinear overlap — both checked."""
     c = np.asarray(coords, dtype=np.float64)
+    # repeated consecutive points are redundant, not self-intersections
+    # (JTS parity) — and their zero-length segments would false-positive
+    # the non-adjacent endpoint-touch test
+    if len(c) > 1:
+        keep = np.concatenate([[True], (np.diff(c, axis=0) != 0).any(axis=1)])
+        c = c[keep]
     if len(c) < 3:
         return True
     proper, touch, overlap = segment_contact_matrices(line_edges(c), line_edges(c))
@@ -1784,3 +1790,188 @@ def transform_coords(coords: np.ndarray, src: str, dst: str) -> np.ndarray | Non
         lat = np.degrees(2.0 * np.arctan(np.exp(c[:, 1] / _R_MERC)) - np.pi / 2.0)
         return np.column_stack([lon, lat])
     return None
+
+
+# --- general simple-polygon overlay (Greiner–Hormann) -----------------------
+#
+# Exact for two SIMPLE single-ring polygons whose boundaries meet only in
+# PROPER crossings (the generic position). Degenerate contact — vertex on
+# edge, collinear overlap, crossing at a vertex — returns None and the
+# SQL layer yields null (honest unsupported; a convex input falls back to
+# the Sutherland–Hodgman path first, which handles those degeneracies).
+
+
+class _GHNode:
+    __slots__ = ("x", "y", "nxt", "prv", "neighbor", "entry", "is_inter", "visited", "alpha")
+
+    def __init__(self, x, y, is_inter=False, alpha=0.0):
+        self.x, self.y = float(x), float(y)
+        self.nxt = self.prv = self.neighbor = None
+        self.entry = False
+        self.is_inter = is_inter
+        self.visited = False
+        self.alpha = alpha
+
+
+def _gh_build(ring: np.ndarray) -> list[_GHNode]:
+    pts = np.asarray(ring, dtype=np.float64)[:-1]
+    return [_GHNode(x, y) for x, y in pts]
+
+
+def _gh_link(nodes: list[_GHNode]) -> None:
+    n = len(nodes)
+    for i, nd in enumerate(nodes):
+        nd.nxt = nodes[(i + 1) % n]
+        nd.prv = nodes[(i - 1) % n]
+
+
+def greiner_hormann(
+    s_ring: np.ndarray, c_ring: np.ndarray, op: str
+) -> list[np.ndarray] | None:
+    """op in {'intersection', 'difference'} over simple single rings.
+    Returns a list of closed result rings ([] = empty result), a
+    one-element list whose ring may need a hole companion is impossible
+    here (holes only arise in the crossing-free containment cases, which
+    the CALLER resolves before invoking this), or None when boundaries
+    meet degenerately."""
+    s = _ccw_ring(s_ring)
+    c = _ccw_ring(c_ring)
+    subj = _gh_build(s)
+    clip = _gh_build(c)
+    sn, cn = len(subj), len(clip)
+    s_ins: dict[int, list[_GHNode]] = {i: [] for i in range(sn)}
+    c_ins: dict[int, list[_GHNode]] = {i: [] for i in range(cn)}
+    eps = 1e-12
+    for i in range(sn):
+        p1 = np.asarray([subj[i].x, subj[i].y])
+        p2 = np.asarray([subj[(i + 1) % sn].x, subj[(i + 1) % sn].y])
+        for j in range(cn):
+            q1 = np.asarray([clip[j].x, clip[j].y])
+            q2 = np.asarray([clip[j].x, clip[j].y]) * 0 + np.asarray(
+                [clip[(j + 1) % cn].x, clip[(j + 1) % cn].y]
+            )
+            d = (p2[0] - p1[0]) * (q2[1] - q1[1]) - (p2[1] - p1[1]) * (q2[0] - q1[0])
+            if d == 0:
+                # parallel: collinear overlap is degenerate contact
+                cross1 = (q2[0] - q1[0]) * (p1[1] - q1[1]) - (q2[1] - q1[1]) * (p1[0] - q1[0])
+                if cross1 == 0:
+                    # collinear lines — overlap iff 1-D ranges intersect
+                    pm, tm, ovl = segment_contact_matrices(
+                        (p1[:1], p1[1:], p2[:1], p2[1:]), (q1[:1], q1[1:], q2[:1], q2[1:])
+                    )
+                    if ovl.any():
+                        return None
+                continue
+            t = ((q1[0] - p1[0]) * (q2[1] - q1[1]) - (q1[1] - p1[1]) * (q2[0] - q1[0])) / d
+            u = ((q1[0] - p1[0]) * (p2[1] - p1[1]) - (q1[1] - p1[1]) * (p2[0] - p1[0])) / d
+            if -eps < t < eps or 1 - eps < t < 1 + eps or -eps < u < eps or 1 - eps < u < 1 + eps:
+                if (-eps < t < 1 + eps) and (-eps < u < 1 + eps):
+                    return None  # endpoint contact: degenerate
+                continue
+            if 0 < t < 1 and 0 < u < 1:
+                x, y = p1[0] + t * (p2[0] - p1[0]), p1[1] + t * (p2[1] - p1[1])
+                a = _GHNode(x, y, True, t)
+                b = _GHNode(x, y, True, u)
+                a.neighbor, b.neighbor = b, a
+                s_ins[i].append(a)
+                c_ins[j].append(b)
+    # splice intersection nodes, sorted along each edge
+    def splice(base: list[_GHNode], ins: dict[int, list[_GHNode]]) -> list[_GHNode]:
+        out: list[_GHNode] = []
+        for i, nd in enumerate(base):
+            out.append(nd)
+            out.extend(sorted(ins[i], key=lambda n: n.alpha))
+        _gh_link(out)
+        return out
+
+    subj_l = splice(subj, s_ins)
+    clip_l = splice(clip, c_ins)
+    inters = [nd for nd in subj_l if nd.is_inter]
+    if not inters:
+        return []  # caller resolves containment / disjoint
+    # entry/exit marking: alternate from the first vertex's inclusion
+    for lst, other_c, other_o, flip in (
+        (subj_l, c, np.asarray([0, len(c)]), op == "difference"),
+        (clip_l, s, np.asarray([0, len(s)]), False),
+    ):
+        first = lst[0]
+        cls = int(classify_points_in_polygon([first.x], [first.y], other_c, other_o)[0])
+        if first.is_inter or cls == 1:
+            return None  # vertex on the other boundary: degenerate
+        entry = cls == 0  # currently outside → next crossing enters
+        if flip:
+            entry = not entry
+        for nd in lst:
+            if nd.is_inter:
+                nd.entry = entry
+                entry = not entry
+    # trace result rings
+    results: list[np.ndarray] = []
+    for start in inters:
+        if start.visited:
+            continue
+        ring_pts = [(start.x, start.y)]
+        cur = start
+        for _guard in range(4 * (len(subj_l) + len(clip_l))):
+            cur.visited = True
+            if cur.neighbor is not None:
+                cur.neighbor.visited = True
+            if cur.entry:
+                while True:
+                    cur = cur.nxt
+                    ring_pts.append((cur.x, cur.y))
+                    if cur.is_inter:
+                        break
+            else:
+                while True:
+                    cur = cur.prv
+                    ring_pts.append((cur.x, cur.y))
+                    if cur.is_inter:
+                        break
+            cur = cur.neighbor
+            if cur is start or (cur.x, cur.y) == (start.x, start.y):
+                break
+        else:
+            return None  # non-terminating trace: inputs were degenerate
+        if len(ring_pts) >= 4:
+            results.append(np.asarray(ring_pts, dtype=np.float64))
+    return results
+
+
+def polygon_overlay_general(
+    a_ring: np.ndarray, b_ring: np.ndarray, op: str
+) -> list[tuple[np.ndarray, np.ndarray]] | None:
+    """Single-ring simple-polygon overlay dispatcher used by the SQL
+    layer when the convex fast paths do not apply. Returns a list of
+    (coords, ring_offsets) polygons (possibly with one hole in the
+    containment case), [] for empty, or None when unsupported."""
+    if not (is_simple_line(a_ring) and is_simple_line(b_ring)):
+        return None
+    rings = greiner_hormann(a_ring, b_ring, op)
+    if rings is None:
+        return None
+    if rings:
+        return [(r, np.asarray([0, len(r)])) for r in rings]
+    # no boundary crossings: disjoint or containment, decided by any vertex
+    a_off = np.asarray([0, len(a_ring)])
+    b_off = np.asarray([0, len(b_ring)])
+    a_in_b = int(classify_points_in_polygon(a_ring[:1, 0], a_ring[:1, 1], b_ring, b_off)[0])
+    b_in_a = int(classify_points_in_polygon(b_ring[:1, 0], b_ring[:1, 1], a_ring, a_off)[0])
+    if a_in_b == 1 or b_in_a == 1:
+        return None  # boundary contact without crossing: degenerate
+    if op == "intersection":
+        if a_in_b == 2:
+            return [(np.asarray(a_ring, dtype=np.float64), a_off)]
+        if b_in_a == 2:
+            return [(np.asarray(b_ring, dtype=np.float64), b_off)]
+        return []
+    # difference
+    if a_in_b == 2:
+        return []
+    if b_in_a == 2:
+        # A with hole B: shell CCW + hole CW in one polygon
+        shell = _ccw_ring(a_ring)
+        hole = _ccw_ring(b_ring)[::-1]
+        coords = np.concatenate([shell, hole])
+        return [(coords, np.asarray([0, len(shell), len(shell) + len(hole)]))]
+    return [(np.asarray(a_ring, dtype=np.float64), a_off)]

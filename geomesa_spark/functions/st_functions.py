@@ -875,9 +875,12 @@ _AREAL = ("POLYGON", "MULTIPOLYGON")
 
 def _overlay_intersection(ga, gb) -> str | None:
     """A ∩ B WKT. Exact for every pairing involving points or linework
-    (any polygon shape, holes included) and for polygon×polygon when at
-    least one ring is convex and neither has holes; other polygonal
-    pairings return None (SQL null — honest unsupported, not wrong)."""
+    (any polygon shape, holes included) and for single-ring
+    polygon×polygon: Sutherland–Hodgman when a ring is convex (handles
+    shared-edge degeneracies), Greiner–Hormann for concave×concave in
+    generic position (proper boundary crossings only — degenerate
+    contact, holes, and multipolygon overlay return None: SQL null,
+    honest unsupported, never an approximation)."""
     ka, ca, oa = ga
     kb, cb, ob = gb
     if kb in _POINTY and ka not in _POINTY:
@@ -917,20 +920,44 @@ def _overlay_intersection(ga, gb) -> str | None:
     if ka in _AREAL and kb in _AREAL:
         if ka != "POLYGON" or kb != "POLYGON" or len(oa) != 2 or len(ob) != 2:
             return None  # holes / multipolygons: unsupported overlay
-        ring = geo.convex_polygon_intersection(ca, cb)
-        if ring is None:
-            if geo.is_convex_ring(ca) or geo.is_convex_ring(cb):
+        if geo.is_convex_ring(ca) or geo.is_convex_ring(cb):
+            # Sutherland–Hodgman: exact incl. shared-edge degeneracies
+            ring = geo.convex_polygon_intersection(ca, cb)
+            if ring is None:
                 return "POLYGON EMPTY"
-            return None
-        return geo.wkt_polygon(ring, np.asarray([0, len(ring)]))
+            return geo.wkt_polygon(ring, np.asarray([0, len(ring)]))
+        parts = geo.polygon_overlay_general(ca, cb, "intersection")
+        return _polys_to_wkt(parts)
     return None
+
+
+def _polys_to_wkt(parts) -> str | None:
+    """GH overlay result [(coords, ring_offsets), ...] → WKT (None stays
+    None: degenerate-contact inputs are unsupported, not approximated)."""
+    if parts is None:
+        return None
+    if not parts:
+        return "POLYGON EMPTY"
+    if len(parts) == 1:
+        return geo.wkt_polygon(*parts[0])
+    inner = ", ".join(
+        "("
+        + ", ".join(
+            "(" + ", ".join(f"{x:.10g} {y:.10g}" for x, y in c[o[r]:o[r + 1]]) + ")"
+            for r in range(len(o) - 1)
+        )
+        + ")"
+        for c, o in parts
+    )
+    return f"MULTIPOLYGON ({inner})"
 
 
 def _overlay_difference(ga, gb) -> str | None:
     """A \\ B WKT. Subtracting a lower-dimension geometry is identity;
-    point and line subjects are exact for any B; polygon minus polygon
-    requires both rings convex (piecewise half-plane decomposition,
-    exact)."""
+    point and line subjects are exact for any B; single-ring polygon
+    minus polygon via half-plane decomposition (both convex, exact
+    incl. shared edges) or Greiner–Hormann (concave, generic position;
+    containment without crossings yields the polygon-with-hole)."""
     ka, ca, oa = ga
     kb, cb, ob = gb
     dim = {"POINT": 0, "MULTIPOINT": 0, "LINESTRING": 1, "MULTILINESTRING": 1, "POLYGON": 2, "MULTIPOLYGON": 2}
@@ -960,19 +987,13 @@ def _overlay_difference(ga, gb) -> str | None:
         return _pieces_to_wkt([], lines, "GEOMETRYCOLLECTION EMPTY")
     if ka != "POLYGON" or kb != "POLYGON" or len(oa) != 2 or len(ob) != 2:
         return None
-    if not geo.is_convex_ring(ca):
-        return None  # Sutherland–Hodgman pieces are exact only for convex subjects
-    pieces = geo.convex_polygon_difference(ca, cb)
-    if pieces is None:
-        return None
-    if not pieces:
-        return "POLYGON EMPTY"
-    if len(pieces) == 1:
-        return geo.wkt_polygon(pieces[0], np.asarray([0, len(pieces[0])]))
-    inner = ", ".join(
-        "((" + ", ".join(f"{x:.10g} {y:.10g}" for x, y in r) + "))" for r in pieces
-    )
-    return f"MULTIPOLYGON ({inner})"
+    if geo.is_convex_ring(ca) and geo.is_convex_ring(cb):
+        # half-plane decomposition: exact incl. shared-edge degeneracies
+        pieces = geo.convex_polygon_difference(ca, cb)
+        if not pieces:
+            return "POLYGON EMPTY"
+        return _polys_to_wkt([(r, np.asarray([0, len(r)])) for r in pieces])
+    return _polys_to_wkt(geo.polygon_overlay_general(ca, cb, "difference"))
 
 
 @F.pandas_udf(StringType())

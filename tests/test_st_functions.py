@@ -660,6 +660,10 @@ def test_overlay_intersection_difference(registered):
                                'POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))') i5,
                st_intersection('POLYGON ((0 0, 4 0, 4 4, 2 1, 0 4, 0 0))',
                                'POLYGON ((0 5, 4 5, 4 9, 2 6, 0 9, 0 5))') i6,
+               st_intersection('POLYGON ((0 0, 6 0, 6 6, 3 2, 0 6, 0 0))',
+                               'POLYGON ((1 3, 5 3, 5 8, 3 5.5, 1 8, 1 3))') i7,
+               st_difference('POLYGON ((0 0, 6 0, 6 6, 3 2, 0 6, 0 0))',
+                             'POLYGON ((1 3, 5 3, 5 8, 3 5.5, 1 8, 1 3))') d6,
                st_difference('LINESTRING (-1 2, 5 2)', 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') d1,
                st_difference('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))',
                              'POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))') d2,
@@ -673,7 +677,15 @@ def test_overlay_intersection_difference(registered):
     assert r["i3"] == "POINT (5 5)"
     assert r["i4"] == "POLYGON ((4 2, 4 4, 2 4, 2 2, 4 2))"
     assert r["i5"] == "POLYGON EMPTY"
-    assert r["i6"] is None  # concave x concave: honest unsupported
+    assert r["i6"] == "POLYGON EMPTY"  # concave x concave, disjoint (GH path)
+    # concave x concave proper crossings: Greiner-Hormann, area-conserving
+    gi = geo.parse_wkt(r["i7"])
+    gd = geo.parse_wkt(r["d6"])
+    ai = sum(abs(geo.polygon_area_deg2(c, o)) for _k, c, o in geo.geom_parts(*gi))
+    ad = sum(abs(geo.polygon_area_deg2(c, o)) for _k, c, o in geo.geom_parts(*gd))
+    aa = abs(geo.polygon_area_deg2(*geo.parse_wkt('POLYGON ((0 0, 6 0, 6 6, 3 2, 0 6, 0 0))')[1:]))
+    assert ai > 0 and ad > 0
+    assert ai + ad == pytest.approx(aa, rel=1e-9)
     assert r["d1"] == "MULTILINESTRING ((-1 2, 0 2), (4 2, 5 2))"
     assert r["d2"] == "MULTIPOLYGON (((0 0, 4 0, 4 2, 0 2, 0 0)), ((2 2, 2 4, 0 4, 0 2, 2 2)))"
     assert r["d3"] == "POINT (9 9)"
