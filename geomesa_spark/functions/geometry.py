@@ -1891,8 +1891,8 @@ def greiner_hormann(
         return []  # caller resolves containment / disjoint
     # entry/exit marking: alternate from the first vertex's inclusion
     for lst, other_c, other_o, flip in (
-        (subj_l, c, np.asarray([0, len(c)]), op == "difference"),
-        (clip_l, s, np.asarray([0, len(s)]), False),
+        (subj_l, c, np.asarray([0, len(c)]), op in ("difference", "union")),
+        (clip_l, s, np.asarray([0, len(s)]), op == "union"),
     ):
         first = lst[0]
         cls = int(classify_points_in_polygon([first.x], [first.y], other_c, other_o)[0])
@@ -1951,6 +1951,21 @@ def polygon_overlay_general(
     if rings is None:
         return None
     if rings:
+        if op == "union":
+            # interlocking shapes can enclose a void: group traced rings
+            # into shells + holes by containment depth
+            coords = np.concatenate(rings)
+            offs = np.concatenate([[0], np.cumsum([len(r) for r in rings])])
+            parts = multipolygon_parts(coords, offs)
+            out = []
+            for shell_idx, hole_idxs in parts:
+                member = [_ccw_ring(rings[shell_idx])] + [
+                    _ccw_ring(rings[h])[::-1] for h in hole_idxs
+                ]
+                mc = np.concatenate(member)
+                mo = np.concatenate([[0], np.cumsum([len(r) for r in member])])
+                out.append((mc, mo))
+            return out
         return [(r, np.asarray([0, len(r)])) for r in rings]
     # no boundary crossings: disjoint or containment, decided by any vertex
     a_off = np.asarray([0, len(a_ring)])
@@ -1965,6 +1980,15 @@ def polygon_overlay_general(
         if b_in_a == 2:
             return [(np.asarray(b_ring, dtype=np.float64), b_off)]
         return []
+    if op == "union":
+        if a_in_b == 2:
+            return [(np.asarray(b_ring, dtype=np.float64), b_off)]
+        if b_in_a == 2:
+            return [(np.asarray(a_ring, dtype=np.float64), a_off)]
+        return [
+            (np.asarray(a_ring, dtype=np.float64), a_off),
+            (np.asarray(b_ring, dtype=np.float64), b_off),
+        ]
     # difference
     if a_in_b == 2:
         return []

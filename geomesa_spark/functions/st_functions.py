@@ -996,6 +996,38 @@ def _overlay_difference(ga, gb) -> str | None:
     return _polys_to_wkt(geo.polygon_overlay_general(ca, cb, "difference"))
 
 
+def _overlay_union(ga, gb) -> str | None:
+    """A ∪ B WKT for same-dimension operands: point sets merge,
+    linework merges as A + (B \\ A), single-ring polygons via
+    Greiner–Hormann (interlocking shapes correctly enclose holes;
+    crossing-free containment/disjoint resolved by classification).
+    Mixed-dimension unions (a true GEOMETRYCOLLECTION result) and
+    degenerate polygon contact return None."""
+    ka, ca, oa = ga
+    kb, cb, ob = gb
+    if ka in _POINTY and kb in _POINTY:
+        pts = list(dict.fromkeys((float(x), float(y)) for x, y in np.concatenate([ca, cb])))
+        return _pieces_to_wkt(pts, [], "GEOMETRYCOLLECTION EMPTY")
+    if ka in _LINEY and kb in _LINEY:
+        lines = [c2 for c2, _o2 in _linear_parts(ka, ca, oa)]
+        for b2, _ob in _linear_parts(kb, cb, ob):
+            pieces = [b2]
+            for a2, _oa2 in _linear_parts(ka, ca, oa):
+                pieces = [seg for p in pieces for seg in geo.line_difference_line(p, a2)]
+            lines.extend(pieces)
+        return _pieces_to_wkt([], lines, "GEOMETRYCOLLECTION EMPTY")
+    if ka == "POLYGON" and kb == "POLYGON" and len(oa) == 2 and len(ob) == 2:
+        return _polys_to_wkt(geo.polygon_overlay_general(ca, cb, "union"))
+    return None
+
+
+@F.pandas_udf(StringType())
+def st_union(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
+    """Geometric union — see _overlay_union for the exact supported
+    pairings (null, never an approximation, outside them)."""
+    return pd.Series(_per_unique_pair(a_wkt, b_wkt, _overlay_union))
+
+
 @F.pandas_udf(StringType())
 def st_intersection(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
     """Geometric intersection — see _overlay_intersection for the exact
@@ -1366,6 +1398,7 @@ ALL_FUNCTIONS = {
     "st_boundary": st_boundary,
     "st_intersection": st_intersection,
     "st_difference": st_difference,
+    "st_union": st_union,
     "st_transform": st_transform,
     "st_makeBox2D": st_makeBox2D,
     "st_makePointM": st_makePointM,

@@ -261,3 +261,45 @@ def test_greiner_hormann_containment_and_holes():
     # A inside B: difference empty, intersection is A
     assert geo.polygon_overlay_general(sq(2, 2, 2), sq(0, 0, 10), "difference") == []
     assert _area_of(geo.polygon_overlay_general(sq(2, 2, 2), sq(0, 0, 10), "intersection")) == 4.0
+
+
+def test_greiner_hormann_union_random_stars():
+    """Union area identity area(A∪B) == area(A)+area(B)−area(A∩B) and
+    Monte-Carlo membership on random concave pairs; interlocking shapes
+    enclose a hole (parity area + void-probe checked)."""
+    rng = np.random.default_rng(5)
+    ok = skipped = 0
+    for trial in range(120):
+        a = _star(rng, rng.integers(5, 12), 0, 0)
+        b = _star(rng, rng.integers(5, 12), rng.uniform(-3, 3), rng.uniform(-3, 3))
+        inter = geo.polygon_overlay_general(a, b, "intersection")
+        uni = geo.polygon_overlay_general(a, b, "union")
+        if inter is None or uni is None:
+            skipped += 1
+            continue
+        aa, ab = abs(geo.ring_signed_area(a)), abs(geo.ring_signed_area(b))
+        au = _area_of(uni)
+        assert au == pytest.approx(aa + ab - _area_of(inter), rel=1e-9, abs=1e-9)
+        probes = rng.uniform(-6, 6, size=(120, 2))
+        in_a = geo.classify_points_in_polygon(probes[:, 0], probes[:, 1], a, np.asarray([0, len(a)]))
+        in_b = geo.classify_points_in_polygon(probes[:, 0], probes[:, 1], b, np.asarray([0, len(b)]))
+        got = np.zeros(len(probes), dtype=bool)
+        for c, o in uni:
+            got |= geo.classify_points_in_polygon(probes[:, 0], probes[:, 1], c, o) == 2
+
+        def near_edge(ring):
+            d2, _cx, _cy = geo._point_to_segments(probes[:, 0], probes[:, 1], *geo.line_edges(ring))
+            return d2.min(axis=1) < 1e-12
+
+        excl = near_edge(a) | near_edge(b)
+        assert (got[~excl] == ((in_a == 2) | (in_b == 2))[~excl]).all(), trial
+        ok += 1
+    assert ok > 80 and skipped < 25
+    # interlocking U and inverted-U in generic position: one polygon, one hole
+    U1 = np.asarray([[0, 0], [10, 0], [10, 10], [7, 10], [7, 3], [3, 3], [3, 10], [0, 10], [0, 0]], float)
+    U2 = np.asarray([[0.5, 12], [0.5, 2.5], [2, 2.5], [2, 9], [8, 9], [8, 2.5], [9.5, 2.5], [9.5, 12], [0.5, 12]], float)
+    u = geo.polygon_overlay_general(U1, U2, "union")
+    assert len(u) == 1 and len(u[0][1]) == 3  # shell + hole
+    assert not any(
+        geo.classify_points_in_polygon([5.0], [6.0], c, o)[0] == 2 for c, o in u
+    )  # the enclosed void stays outside

@@ -670,7 +670,12 @@ def test_overlay_intersection_difference(registered):
                st_difference('MULTIPOINT (2 2, 9 9)', 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') d3,
                st_difference('LINESTRING (0 0, 4 0)', 'LINESTRING (2 0, 6 0)') d4,
                st_difference('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))',
-                             'POLYGON ((-1 -1, 5 -1, 5 5, -1 5, -1 -1))') d5
+                             'POLYGON ((-1 -1, 5 -1, 5 5, -1 5, -1 -1))') d5,
+               st_union('LINESTRING (0 0, 4 0)', 'LINESTRING (2 0, 6 0)') u1,
+               st_union('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))',
+                        'POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))') u2,
+               st_union('MULTIPOINT (1 1, 2 2)', 'POINT (2 2)') u3,
+               st_union('POINT (1 1)', 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') u4
     """).collect()[0]
     assert r["i1"] == "POINT (2 2)"
     assert r["i2"] == "LINESTRING (0 2, 4 2)"
@@ -691,6 +696,11 @@ def test_overlay_intersection_difference(registered):
     assert r["d3"] == "POINT (9 9)"
     assert r["d4"] == "LINESTRING (0 0, 2 0)"
     assert r["d5"] == "POLYGON EMPTY"
+    assert r["u1"] == "MULTILINESTRING ((0 0, 4 0), (4 0, 6 0))"
+    uk, uc, uo = geo.parse_wkt(r["u2"])
+    assert uk == "POLYGON" and abs(abs(geo.polygon_area_deg2(uc, uo)) - 28.0) < 1e-9
+    assert r["u3"] == "MULTIPOINT ((1 1), (2 2))"
+    assert r["u4"] is None  # mixed-dimension union: honest unsupported
     # difference piece areas tile the annulus exactly
     got = geo.parse_wkt(r["d2"])
     area = sum(
