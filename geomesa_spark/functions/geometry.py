@@ -1471,8 +1471,12 @@ def is_valid(kind: str, coords, ring_offsets) -> bool:
     """OGC validity, exact for the dominant failure modes: ring closure /
     degeneracy / self-intersection, ring-ring proper crossing or
     collinear overlap, holes escaping their shell, a hole swallowing the
-    shell. (Not checked: interior connectedness when rings touch at
-    multiple points — rare and expensive; documented.)"""
+    shell, and holes nested inside other holes. Not checked: interior
+    connectedness when rings touch at multiple points (rare, expensive),
+    and MULTIPOLYGON member-nesting structure — the internal
+    representation is a flat ring list interpreted by parity, which
+    cannot distinguish JTS-invalid "nested shells" from the equivalent
+    (and identically-evaluating) polygon-with-hole."""
     if kind == "POINT":
         return bool(np.isfinite(np.asarray(coords, dtype=np.float64)).all())
     if kind in ("MULTIPOINT",):
@@ -1502,6 +1506,16 @@ def is_valid(kind: str, coords, ring_offsets) -> bool:
             scls = classify_points_in_polygon(shell[:-1, 0], shell[:-1, 1], hole, hole_offs)
             if (scls == 2).any():  # shell swallowed by its own hole
                 return False
+        for i in range(1, nrings):
+            for j in range(1, nrings):
+                if i == j:
+                    continue
+                oj = np.asarray([0, len(rings[j])])
+                hc = classify_points_in_polygon(
+                    rings[i][:-1, 0], rings[i][:-1, 1], rings[j], oj
+                )
+                if (hc == 2).any():  # hole nested inside another hole
+                    return False
     return True
 
 
@@ -1847,9 +1861,7 @@ def greiner_hormann(
         p2 = np.asarray([subj[(i + 1) % sn].x, subj[(i + 1) % sn].y])
         for j in range(cn):
             q1 = np.asarray([clip[j].x, clip[j].y])
-            q2 = np.asarray([clip[j].x, clip[j].y]) * 0 + np.asarray(
-                [clip[(j + 1) % cn].x, clip[(j + 1) % cn].y]
-            )
+            q2 = np.asarray([clip[(j + 1) % cn].x, clip[(j + 1) % cn].y])
             d = (p2[0] - p1[0]) * (q2[1] - q1[1]) - (p2[1] - p1[1]) * (q2[0] - q1[0])
             if d == 0:
                 # parallel: collinear overlap is degenerate contact

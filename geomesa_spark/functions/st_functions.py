@@ -24,6 +24,7 @@ for ad-hoc SQL, not the join path. Implementation notes:
 from __future__ import annotations
 
 import json
+import re
 
 import numpy as np
 import pandas as pd
@@ -570,7 +571,13 @@ def _per_unique_pair(a_wkt: pd.Series, b_wkt: pd.Series, fn):
     vals = []
     for a, b in uniq:
         ga, gb = ca.get(a), cb.get(b)
-        vals.append(None if ga is None or gb is None else fn(ga, gb))
+        if ga is None or gb is None:
+            vals.append(None)
+            continue
+        try:
+            vals.append(fn(ga, gb))
+        except Exception:
+            vals.append(None)  # unsupported pairing → null, not a poisoned batch
     out = np.empty(len(av), dtype=object)
     for i, v in enumerate(vals):
         out[codes == i] = v
@@ -766,8 +773,16 @@ def st_idlSafeGeom(wkt: pd.Series) -> pd.Series:
 # --- predicates / boundary / overlay ----------------------------------------
 
 
+_EMPTY_WKT_RE = re.compile(
+    r"^\s*(POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|MULTIPOLYGON|"
+    r"GEOMETRYCOLLECTION)(\s+(?:ZM|Z|M))?\s+EMPTY\s*$",
+    re.IGNORECASE,
+)
+
+
 def _is_empty_wkt(w: str) -> bool:
-    return w.strip().upper().endswith("EMPTY")
+    # a known kind followed by EMPTY — 'FOO EMPTY' is garbage, not empty
+    return _EMPTY_WKT_RE.match(w) is not None
 
 
 @F.pandas_udf(BooleanType())
@@ -883,6 +898,8 @@ def _overlay_intersection(ga, gb) -> str | None:
     honest unsupported, never an approximation)."""
     ka, ca, oa = ga
     kb, cb, ob = gb
+    if ka == "GEOMETRYCOLLECTION" or kb == "GEOMETRYCOLLECTION":
+        return None
     if kb in _POINTY and ka not in _POINTY:
         return _overlay_intersection(gb, ga)
     if ka in _POINTY:
@@ -920,8 +937,12 @@ def _overlay_intersection(ga, gb) -> str | None:
     if ka in _AREAL and kb in _AREAL:
         if ka != "POLYGON" or kb != "POLYGON" or len(oa) != 2 or len(ob) != 2:
             return None  # holes / multipolygons: unsupported overlay
-        if geo.is_convex_ring(ca) or geo.is_convex_ring(cb):
-            # Sutherland–Hodgman: exact incl. shared-edge degeneracies
+        if geo.is_convex_ring(ca) and geo.is_convex_ring(cb):
+            # Sutherland–Hodgman: exact incl. shared-edge degeneracies —
+            # but ONLY for convex×convex (a concave subject can have a
+            # DISCONNECTED intersection with a convex clip, which S-H
+            # silently bridges into one invalid ring; those pairs go to
+            # the GH path instead)
             ring = geo.convex_polygon_intersection(ca, cb)
             if ring is None:
                 return "POLYGON EMPTY"
@@ -1047,25 +1068,20 @@ def st_transform(wkt: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
     """CRS reprojection for the web-mapping pair EPSG:4326 ↔ EPSG:3857
     (identity for equal codes; null for unsupported codes)."""
     cache = _parse_cache(wkt)
+
+    def tf(k, c, o, s, d) -> str | None:
+        if k == "GEOMETRYCOLLECTION":
+            members = [tf(*m, s, d) for m in c]  # recursion: nested GCs
+            if any(m is None for m in members):
+                return None
+            return "GEOMETRYCOLLECTION (" + ", ".join(members) + ")"
+        t = geo.transform_coords(c, s, d)
+        return None if t is None else geo.wkt_any(k, t, o)
+
     out = []
     for w, s, d in zip(wkt.to_numpy(object), src.to_numpy(object), dst.to_numpy(object)):
         g = cache.get(w)
-        if g is None or s is None or d is None:
-            out.append(None)
-            continue
-        k, c, o = g
-        if k == "GEOMETRYCOLLECTION":
-            ms = [geo.transform_coords(m[1], s, d) for m in c]
-            if any(m is None for m in ms):
-                out.append(None)
-                continue
-            members = [(m0[0], mc, m0[2]) for m0, mc in zip(c, ms)]
-            out.append(
-                "GEOMETRYCOLLECTION (" + ", ".join(geo.wkt_any(*m) for m in members) + ")"
-            )
-            continue
-        t = geo.transform_coords(c, s, d)
-        out.append(None if t is None else geo.wkt_any(k, t, o))
+        out.append(None if g is None or s is None or d is None else tf(*g, s, d))
     return pd.Series(out)
 
 
@@ -1091,9 +1107,12 @@ def st_makeBox2D(ll_wkt: pd.Series, ur_wkt: pd.Series) -> pd.Series:
 def st_makePointM(x: pd.Series, y: pd.Series, m: pd.Series) -> pd.Series:
     """POINT M constructor (measure kept in WKT; 2-D ops project it away,
     matching the parser's dimensioned-WKT handling)."""
+    def bad(v):
+        return v is None or (isinstance(v, float) and np.isnan(v))
+
     out = []
     for xv, yv, mv in zip(x.to_numpy(object), y.to_numpy(object), m.to_numpy(object)):
-        if xv is None or yv is None or mv is None or (isinstance(xv, float) and np.isnan(xv)):
+        if bad(xv) or bad(yv) or bad(mv):
             out.append(None)
             continue
         out.append(f"POINT M ({float(xv):.10g} {float(yv):.10g} {float(mv):.10g})")

@@ -524,6 +524,7 @@ def connected_components(
             out = out.localCheckpoint(eager=True)
             e.unpersist()
             canon.unpersist()
+            loop_nodes.unpersist()
             return out
         if _is_star_forest(e):
             converged = True
@@ -564,5 +565,12 @@ def connected_components(
     labels = e.selectExpr("v node", "u component").unionByName(
         e.selectExpr("u node", "u component")
     )
-    out = _with_loop_singletons(labels.distinct())
+    # materialize BEFORE releasing the checkpoints the labels derive from
+    # (an unpersisted localCheckpoint cannot recompute — lineage is cut);
+    # eager checkpoint + unpersist also stops per-call block accumulation
+    # in long-lived sessions that run CC once per compaction cycle
+    out = _with_loop_singletons(labels.distinct()).localCheckpoint(eager=True)
+    e.unpersist()
+    canon.unpersist()
+    loop_nodes.unpersist()
     return out

@@ -324,6 +324,19 @@ def stream_stream_fix_event_join(
 
     fx_names = _out_names(fx_extra, set(ev_extra), "fx")
     ev_names = _out_names(ev_extra, set(fx_extra), "ev")
+    # a side may already carry a literally-prefixed name (e.g. fixes has
+    # both 'lat' and 'ev_lat'): keep re-prefixing whichever names still
+    # collide until the full output list is unique (each pass lengthens
+    # the colliding names, so this terminates)
+    for _ in range(len(fx_names) + len(ev_names)):
+        from collections import Counter
+
+        counts = Counter([id_col, fix_ts, ev_ts] + fx_names + ev_names)
+        dups = {n for n, k in counts.items() if k > 1}
+        if not dups:
+            break
+        fx_names = [f"fx_{n}" if n in dups else n for n in fx_names]
+        ev_names = [f"ev_{n}" if n in dups else n for n in ev_names]
     return f.join(e, cond, "inner").select(
         F.col(f"fx.{id_col}").alias(id_col),
         F.col(f"fx.{fix_ts}").alias(fix_ts),

@@ -807,3 +807,36 @@ def test_track_clip_twin(registered):
     # lands within an ulp of a .5-micro boundary; zero observed in the
     # deterministic data but the bound keeps the twin honest
     assert int(diff.max()) <= 1, diff[diff > 0]
+
+
+def test_overlay_review_regressions(registered):
+    """Round-3 self-review fixes: concave∩convex goes through GH (S-H
+    would bridge a disconnected result into one invalid ring); GC
+    operands and nested-GC transform are null/handled, never a crashed
+    batch; hole-in-hole is invalid; NaN in any st_makePointM arg is
+    null; 'FOO EMPTY' is not an empty geometry."""
+    spark = registered
+    r = spark.sql("""
+        select st_intersection('POLYGON ((0 0, 10 0, 10 10, 7 10, 7 3, 3 3, 3 10, 0 10, 0 0))',
+                               'POLYGON ((-1 5, 11 5, 11 9, -1 9, -1 5))') ushape,
+               st_intersection('POINT (1 1)',
+                               'GEOMETRYCOLLECTION (POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)), POINT (9 9))') gc,
+               st_transform('GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POINT (0 0)))',
+                            'EPSG:4326', 'EPSG:3857') nested,
+               st_isValid('POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0), (2 2, 10 2, 10 10, 2 10, 2 2), (4 4, 6 4, 6 6, 4 6, 4 4))') hh,
+               st_makePointM(1.5, cast('nan' as double), 7.0) pm,
+               st_isEmpty('FOO EMPTY') fe,
+               st_isEmpty('MULTIPOINT EMPTY') me
+    """).collect()[0]
+    # the U-shape's intersection with the band is two disjoint rectangles
+    uk, uc, uo = geo.parse_wkt(r["ushape"])
+    assert uk == "MULTIPOLYGON"
+    parts = geo.geom_parts(uk, uc, uo)
+    assert len(parts) == 2
+    area = sum(abs(geo.polygon_area_deg2(c, o)) for _k, c, o in parts)
+    assert area == pytest.approx(24.0)  # two disjoint 3x4 bars
+    assert r["gc"] is None
+    assert r["nested"] == "GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POINT (0 0)))"
+    assert r["hh"] is False  # hole nested inside another hole
+    assert r["pm"] is None
+    assert r["fe"] is None and r["me"] is True

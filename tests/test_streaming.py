@@ -436,3 +436,23 @@ def test_stream_stream_join_prefixes_shared_columns(spark):
     fx2 = spark.createDataFrame([("u1", base, 9.9)], "url string, warc_ts timestamp, lon double")
     out2 = live.stream_stream_fix_event_join(fx2, ev, bound_sec=300, watermark="2 hours")
     assert "lon" in out2.columns and "ev_lat" not in out2.columns and "lat" in out2.columns
+
+
+def test_stream_stream_join_prefix_collision_with_literal_prefix(spark):
+    """A side that already carries a literally-prefixed column ('ev_lat'
+    on the fixes side next to a shared 'lat') still yields unique output
+    names — the rename loop re-prefixes until no duplicates remain."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    fx = spark.createDataFrame(
+        [("u1", base, 1.0, 3.3)], "url string, warc_ts timestamp, lat double, ev_lat double"
+    )
+    ev = spark.createDataFrame(
+        [("u1", base, 2.0)], "url string, ev_ts timestamp, lat double"
+    )
+    out = live.stream_stream_fix_event_join(fx, ev, bound_sec=300, watermark="2 hours")
+    assert len(out.columns) == len(set(out.columns)), out.columns
+    row = out.collect()[0]
+    vals = sorted(v for k, v in row.asDict().items() if isinstance(v, float))
+    assert vals == [1.0, 2.0, 3.3]
