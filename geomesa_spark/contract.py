@@ -1363,6 +1363,79 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+STRATA_N = 20  # per-language sample size
+
+
+@_q(
+    "stratified_sample",
+    (
+        "with keyed as (select lang, doc_id, (doc_id * 2654435761) % 1000000007 as k "
+        "from documents), r as (select lang, doc_id, "
+        "row_number() over (partition by lang order by k, doc_id) as rn from keyed) "
+        f"select lang, doc_id, cast(rn as bigint) as rnk from r where rn <= {STRATA_N} "
+        "order by lang, rnk"
+    ),
+)
+def q_stratified_sample(spark, sf_dir):
+    """Per-language deterministic sample (train/val-split primitive):
+    rank docs inside each language by a Knuth-multiplicative hash of
+    doc_id and keep the first STRATA_N — reproducible across runs and
+    engines, no RNG. One hash-exchange on lang; the per-group sort is
+    the simple exact shape (at 100 TB swap the window for a per-
+    partition top-N + merge — same output, bounded memory; the window
+    form is kept here because it is the oracle-exact twin)."""
+    d = _load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("k", "doc_id")
+    return (
+        d.select("lang", "doc_id", ((F.col("doc_id") * 2654435761) % 1000000007).alias("k"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= STRATA_N)
+        .select("lang", "doc_id", F.col("rn").cast("long").alias("rnk"))
+        .orderBy("lang", "rnk")
+    )
+
+
+@_q(
+    "source_quality_rollup",
+    (
+        "select source, cast(count(*) as bigint) n_docs, "
+        "cast(count(distinct md5(text)) as bigint) n_unique, "
+        "cast(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) as bigint) total_tokens, "
+        "cast(count(*) - count(distinct md5(text)) as double) / cast(count(*) as double) as dup_rate "
+        "from documents group by source order by source"
+    ),
+)
+def q_source_quality_rollup(spark, sf_dir):
+    """Per-source curation rollup ('which domains are trash'): doc count,
+    distinct-content count (md5), token budget, and exact-dup rate. One
+    hash aggregation keyed by source; the distinct-count is a partial-
+    aggregated md5 distinct inside the same exchange. dup_rate is a
+    single IEEE division of two exact integers, written identically in
+    the oracle, so the checked doubles are bit-equal."""
+    d = _load(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long")
+    agg = (
+        d.withColumn("h", F.md5(F.col("text").cast("binary")))
+        .withColumn("n_tok", n_tok)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h").alias("n_unique"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        "total_tokens",
+        (
+            (F.col("n_docs") - F.col("n_unique")).cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("dup_rate"),
+    ).orderBy("source")
+
+
 _WORDS_SQL = (
     "words as (select distinct doc_id, w from ("
     "select doc_id, unnest(string_split(text, ' ')) w from documents) where w <> '')"
@@ -2907,6 +2980,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # round-2 ask #4)
             "tile_counts_webmercator",
             "pip_anti_count",
+            # late-r3 additions registered beyond the driver window by
+            # design — exact-value-checked by tests/test_contract.py
+            "stratified_sample",
+            "source_quality_rollup",
         )
         if n in with_oracle
     ]
