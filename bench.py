@@ -70,6 +70,10 @@ BENCH_QUERIES = [
     "decontamination",
     "dedup_clusters",
     "exact_substring_pairs",
+    # late round 3 additions
+    "track_clip_length",
+    "stratified_sample",
+    "source_quality_rollup",
 ]
 
 
