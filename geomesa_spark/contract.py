@@ -1380,10 +1380,12 @@ def q_stratified_sample(spark, sf_dir):
     """Per-language deterministic sample (train/val-split primitive):
     rank docs inside each language by a Knuth-multiplicative hash of
     doc_id and keep the first STRATA_N — reproducible across runs and
-    engines, no RNG. One hash-exchange on lang; the per-group sort is
-    the simple exact shape (at 100 TB swap the window for a per-
-    partition top-N + merge — same output, bounded memory; the window
-    form is kept here because it is the oracle-exact twin)."""
+    engines, no RNG. The declarative window form IS the scale shape:
+    Catalyst inserts WindowGroupLimit on BOTH sides of the lang
+    exchange (verified in explain-formatted), so each map task keeps
+    only its local top-N per language before shuffling — bounded
+    memory and near-no shuffle at 100 TB, no manual top-N rewrite
+    needed."""
     d = _load(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy("k", "doc_id")
     return (
