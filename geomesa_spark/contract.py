@@ -1369,7 +1369,7 @@ STRATA_N = 20  # per-language sample size
 @_q(
     "stratified_sample",
     (
-        "with keyed as (select lang, doc_id, (doc_id * 2654435761) % 1000000007 as k "
+        "with keyed as (select lang, doc_id, ((doc_id % 1000000007) * 2654435761) % 1000000007 as k "
         "from documents), r as (select lang, doc_id, "
         "row_number() over (partition by lang order by k, doc_id) as rn from keyed) "
         f"select lang, doc_id, cast(rn as bigint) as rnk from r where rn <= {STRATA_N} "
@@ -1380,7 +1380,10 @@ def q_stratified_sample(spark, sf_dir):
     """Per-language deterministic sample (train/val-split primitive):
     rank docs inside each language by a Knuth-multiplicative hash of
     doc_id and keep the first STRATA_N — reproducible across runs and
-    engines, no RNG. The declarative window form IS the scale shape:
+    engines, no RNG. The id is reduced mod p BEFORE the multiply so the
+    product stays under 2**63 for any int64 doc_id (an unreduced
+    multiply overflows at doc_id ≈ 3.47e9 — DuckDB errors, non-ANSI
+    Spark silently wraps negative — right in 100 TB-corpus range). The declarative window form IS the scale shape:
     Catalyst inserts WindowGroupLimit on BOTH sides of the lang
     exchange (verified in explain-formatted), so each map task keeps
     only its local top-N per language before shuffling — bounded
@@ -1389,7 +1392,11 @@ def q_stratified_sample(spark, sf_dir):
     d = _load(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy("k", "doc_id")
     return (
-        d.select("lang", "doc_id", ((F.col("doc_id") * 2654435761) % 1000000007).alias("k"))
+        d.select(
+            "lang",
+            "doc_id",
+            (((F.col("doc_id") % 1000000007) * 2654435761) % 1000000007).alias("k"),
+        )
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= STRATA_N)
         .select("lang", "doc_id", F.col("rn").cast("long").alias("rnk"))

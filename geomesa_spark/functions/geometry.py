@@ -1842,12 +1842,15 @@ def _gh_link(nodes: list[_GHNode]) -> None:
 def greiner_hormann(
     s_ring: np.ndarray, c_ring: np.ndarray, op: str
 ) -> list[np.ndarray] | None:
-    """op in {'intersection', 'difference'} over simple single rings.
-    Returns a list of closed result rings ([] = empty result), a
-    one-element list whose ring may need a hole companion is impossible
-    here (holes only arise in the crossing-free containment cases, which
-    the CALLER resolves before invoking this), or None when boundaries
-    meet degenerately."""
+    """op in {'intersection', 'difference', 'union'} over simple single
+    rings. Returns a list of closed result rings ([] = no boundary
+    crossings — the caller resolves containment/disjoint), or None when
+    boundaries meet degenerately. For 'union' the traced rings can
+    include HOLES (interlocking shapes enclosing a void) wound in
+    arbitrary orientation — the caller groups them into shells + holes
+    by containment depth (see polygon_overlay_general); intersection
+    and difference of single simple rings with proper crossings never
+    produce holes."""
     s = _ccw_ring(s_ring)
     c = _ccw_ring(c_ring)
     subj = _gh_build(s)

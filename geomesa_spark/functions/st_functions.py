@@ -571,13 +571,7 @@ def _per_unique_pair(a_wkt: pd.Series, b_wkt: pd.Series, fn):
     vals = []
     for a, b in uniq:
         ga, gb = ca.get(a), cb.get(b)
-        if ga is None or gb is None:
-            vals.append(None)
-            continue
-        try:
-            vals.append(fn(ga, gb))
-        except Exception:
-            vals.append(None)  # unsupported pairing → null, not a poisoned batch
+        vals.append(None if ga is None or gb is None else fn(ga, gb))
     out = np.empty(len(av), dtype=object)
     for i, v in enumerate(vals):
         out[codes == i] = v
@@ -1030,11 +1024,14 @@ def _overlay_union(ga, gb) -> str | None:
         pts = list(dict.fromkeys((float(x), float(y)) for x, y in np.concatenate([ca, cb])))
         return _pieces_to_wkt(pts, [], "GEOMETRYCOLLECTION EMPTY")
     if ka in _LINEY and kb in _LINEY:
+        # A ∪ B = A + (B \ everything accumulated so far): subtracting
+        # against the RUNNING list also removes B-part-vs-B-part overlap
+        # (A's own parts pass through unchanged — input structure kept)
         lines = [c2 for c2, _o2 in _linear_parts(ka, ca, oa)]
         for b2, _ob in _linear_parts(kb, cb, ob):
             pieces = [b2]
-            for a2, _oa2 in _linear_parts(ka, ca, oa):
-                pieces = [seg for p in pieces for seg in geo.line_difference_line(p, a2)]
+            for covered in list(lines):
+                pieces = [seg for p in pieces for seg in geo.line_difference_line(p, covered)]
             lines.extend(pieces)
         return _pieces_to_wkt([], lines, "GEOMETRYCOLLECTION EMPTY")
     if ka == "POLYGON" and kb == "POLYGON" and len(oa) == 2 and len(ob) == 2:
@@ -1042,25 +1039,40 @@ def _overlay_union(ga, gb) -> str | None:
     return None
 
 
+def _null_on_error(fn):
+    """Overlay dispatchers reject unsupported pairings by returning None;
+    this converts any residual exception on an exotic input to the same
+    null. Scoped to the OVERLAY UDFs only — the relation predicates must
+    fail loudly on a kernel bug, not silently drop rows from filters."""
+
+    def safe(ga, gb):
+        try:
+            return fn(ga, gb)
+        except Exception:
+            return None
+
+    return safe
+
+
 @F.pandas_udf(StringType())
 def st_union(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
     """Geometric union — see _overlay_union for the exact supported
     pairings (null, never an approximation, outside them)."""
-    return pd.Series(_per_unique_pair(a_wkt, b_wkt, _overlay_union))
+    return pd.Series(_per_unique_pair(a_wkt, b_wkt, _null_on_error(_overlay_union)))
 
 
 @F.pandas_udf(StringType())
 def st_intersection(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
     """Geometric intersection — see _overlay_intersection for the exact
     supported pairings (null, never an approximation, outside them)."""
-    return pd.Series(_per_unique_pair(a_wkt, b_wkt, _overlay_intersection))
+    return pd.Series(_per_unique_pair(a_wkt, b_wkt, _null_on_error(_overlay_intersection)))
 
 
 @F.pandas_udf(StringType())
 def st_difference(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
     """Geometric difference A \\ B — see _overlay_difference for the exact
     supported pairings (null outside them)."""
-    return pd.Series(_per_unique_pair(a_wkt, b_wkt, _overlay_difference))
+    return pd.Series(_per_unique_pair(a_wkt, b_wkt, _null_on_error(_overlay_difference)))
 
 
 @F.pandas_udf(StringType())

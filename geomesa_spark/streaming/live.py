@@ -325,18 +325,21 @@ def stream_stream_fix_event_join(
     fx_names = _out_names(fx_extra, set(ev_extra), "fx")
     ev_names = _out_names(ev_extra, set(fx_extra), "ev")
     # a side may already carry a literally-prefixed name (e.g. fixes has
-    # both 'lat' and 'ev_lat'): keep re-prefixing whichever names still
-    # collide until the full output list is unique (each pass lengthens
-    # the colliding names, so this terminates)
-    for _ in range(len(fx_names) + len(ev_names)):
-        from collections import Counter
-
-        counts = Counter([id_col, fix_ts, ev_ts] + fx_names + ev_names)
-        dups = {n for n, k in counts.items() if k > 1}
-        if not dups:
-            break
-        fx_names = [f"fx_{n}" if n in dups else n for n in fx_names]
-        ev_names = [f"ev_{n}" if n in dups else n for n in ev_names]
+    # both 'lat' and 'fx_lat'): resolve any remaining duplicate — cross-
+    # side OR same-side — with a deterministic numeric suffix. A prefix
+    # loop cannot converge for same-side duplicates (both copies get the
+    # same prefix every pass), so suffixes it is.
+    seen: set[str] = set()
+    resolved = []
+    for n in [id_col, fix_ts, ev_ts] + fx_names + ev_names:
+        cand, k = n, 1
+        while cand in seen:
+            k += 1
+            cand = f"{n}_{k}"
+        seen.add(cand)
+        resolved.append(cand)
+    fx_names = resolved[3:3 + len(fx_names)]
+    ev_names = resolved[3 + len(fx_names):]
     return f.join(e, cond, "inner").select(
         F.col(f"fx.{id_col}").alias(id_col),
         F.col(f"fx.{fix_ts}").alias(fix_ts),

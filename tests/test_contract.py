@@ -120,3 +120,30 @@ def test_line_poly_oracle_no_corner_degeneracy():
             for cx, cy in [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]:
                 d = (s2[:, 0] - s1[:, 0]) * (cy - s1[:, 1]) - (s2[:, 1] - s1[:, 1]) * (cx - s1[:, 0])
                 assert (d != 0.0).all(), (sf, cx, cy)
+
+
+def test_stratified_hash_engine_parity_at_large_ids(spark):
+    """The sample hash must agree between Spark and DuckDB for ANY int64
+    doc_id: the unreduced (doc_id * 2654435761) % p overflows at
+    doc_id ≈ 3.47e9 (DuckDB errors, non-ANSI Spark wraps negative); the
+    shipped mod-before-multiply form stays in range in both engines."""
+    import duckdb
+
+    ids = [0, 1, 999_999, 3_474_699_430, 3_475_000_000, 2**62, 2**63 - 1]
+    sdf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["k"]
+        for r in sdf.selectExpr(
+            "doc_id", "((doc_id % 1000000007) * 2654435761) % 1000000007 as k"
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        int(a): int(b)
+        for a, b in con.sql(
+            "select doc_id, ((doc_id % 1000000007) * 2654435761) % 1000000007"
+            f" from (values {','.join(f'({i})' for i in ids)}) v(doc_id)"
+        ).fetchall()
+    }
+    assert got == want
+    assert all(0 <= v < 1_000_000_007 for v in got.values())

@@ -840,3 +840,14 @@ def test_overlay_review_regressions(registered):
     assert r["hh"] is False  # hole nested inside another hole
     assert r["pm"] is None
     assert r["fe"] is None and r["me"] is True
+
+
+def test_union_self_overlapping_linework(registered):
+    """st_union must not double-cover when B's own parts overlap each
+    other: the running-subtraction form keeps the union a SET."""
+    spark = registered
+    r = spark.sql("""
+        select st_length(st_union('LINESTRING (0 0, 1 0)',
+                                  'MULTILINESTRING ((0 0, 3 0), (2 0, 5 0))')) ln
+    """).collect()[0]
+    assert r["ln"] == 5.0

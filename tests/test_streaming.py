@@ -456,3 +456,24 @@ def test_stream_stream_join_prefix_collision_with_literal_prefix(spark):
     row = out.collect()[0]
     vals = sorted(v for k, v in row.asDict().items() if isinstance(v, float))
     assert vals == [1.0, 2.0, 3.3]
+
+
+def test_stream_stream_join_same_side_collision(spark):
+    """A side carrying BOTH 'lat' and the literal 'fx_lat' (so the rename
+    of 'lat' lands on an existing same-side name) still yields unique
+    output columns — numeric-suffix resolution, which converges where a
+    prefix loop cannot."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    fx = spark.createDataFrame(
+        [("u1", base, 1.0, 9.9)], "url string, warc_ts timestamp, lat double, fx_lat double"
+    )
+    ev = spark.createDataFrame(
+        [("u1", base, 2.0)], "url string, ev_ts timestamp, lat double"
+    )
+    out = live.stream_stream_fix_event_join(fx, ev, bound_sec=300, watermark="2 hours")
+    assert len(out.columns) == len(set(out.columns)), out.columns
+    row = out.collect()[0]
+    vals = sorted(v for v in row.asDict().values() if isinstance(v, float))
+    assert vals == [1.0, 2.0, 9.9]
