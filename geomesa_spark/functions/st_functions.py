@@ -929,21 +929,53 @@ def _overlay_intersection(ga, gb) -> str | None:
             lines.extend(geo.line_clip_polygon(c2, pc, po, True))
         return _pieces_to_wkt([], lines, "GEOMETRYCOLLECTION EMPTY")
     if ka in _AREAL and kb in _AREAL:
-        if ka != "POLYGON" or kb != "POLYGON" or len(oa) != 2 or len(ob) != 2:
-            return None  # holes / multipolygons: unsupported overlay
-        if geo.is_convex_ring(ca) and geo.is_convex_ring(cb):
-            # Sutherland–Hodgman: exact incl. shared-edge degeneracies —
-            # but ONLY for convex×convex (a concave subject can have a
-            # DISCONNECTED intersection with a convex clip, which S-H
-            # silently bridges into one invalid ring; those pairs go to
-            # the GH path instead)
-            ring = geo.convex_polygon_intersection(ca, cb)
-            if ring is None:
-                return "POLYGON EMPTY"
-            return geo.wkt_polygon(ring, np.asarray([0, len(ring)]))
-        parts = geo.polygon_overlay_general(ca, cb, "intersection")
-        return _polys_to_wkt(parts)
+        ra = _hole_free_rings(ka, ca, oa)
+        rb = _hole_free_rings(kb, cb, ob)
+        if ra is None or rb is None:
+            return None  # members with holes: unsupported overlay
+        out: list = []
+        # members of each side are disjoint, so the pairwise results are
+        # mutually disjoint and concatenate into one (MULTI)POLYGON
+        for a2 in ra:
+            for b2 in rb:
+                r = _ring_pair_intersection(a2, b2)
+                if r is None:
+                    return None
+                out.extend(r)
+        return _polys_to_wkt(out)
     return None
+
+
+def _hole_free_rings(kind, coords, offs) -> list | None:
+    """Member polygons of a (MULTI)POLYGON as bare closed rings; None if
+    any member carries a hole (overlay unsupported)."""
+    rings = []
+    for k2, c2, o2 in geo.geom_parts(kind, coords, offs):
+        if k2 != "POLYGON" or len(o2) != 2:
+            return None
+        rings.append(c2)
+    return rings
+
+
+def _ring_pair_intersection(a2, b2) -> list | None:
+    """Single-ring ∩ single-ring as [(coords, offsets), ...] parts.
+    Sutherland–Hodgman ONLY for convex×convex (a concave subject can
+    have a DISCONNECTED intersection with a convex clip, which S-H
+    silently bridges into one invalid ring); Greiner–Hormann otherwise;
+    None on degenerate contact."""
+    if geo.is_convex_ring(a2) and geo.is_convex_ring(b2):
+        ring = geo.convex_polygon_intersection(a2, b2)
+        return [] if ring is None else [(ring, np.asarray([0, len(ring)]))]
+    return geo.polygon_overlay_general(a2, b2, "intersection")
+
+
+def _ring_pair_difference(a2, b2) -> list | None:
+    r"""Single-ring \ single-ring as [(coords, offsets), ...] parts
+    (the containment case yields one polygon-with-hole part)."""
+    if geo.is_convex_ring(a2) and geo.is_convex_ring(b2):
+        pieces = geo.convex_polygon_difference(a2, b2)
+        return [(r, np.asarray([0, len(r)])) for r in pieces]
+    return geo.polygon_overlay_general(a2, b2, "difference")
 
 
 def _polys_to_wkt(parts) -> str | None:
@@ -1000,15 +1032,28 @@ def _overlay_difference(ga, gb) -> str | None:
                 pieces = [seg for p in pieces for seg in geo.line_difference_line(p, b2)]
             lines.extend(pieces)
         return _pieces_to_wkt([], lines, "GEOMETRYCOLLECTION EMPTY")
-    if ka != "POLYGON" or kb != "POLYGON" or len(oa) != 2 or len(ob) != 2:
-        return None
-    if geo.is_convex_ring(ca) and geo.is_convex_ring(cb):
-        # half-plane decomposition: exact incl. shared-edge degeneracies
-        pieces = geo.convex_polygon_difference(ca, cb)
-        if not pieces:
-            return "POLYGON EMPTY"
-        return _polys_to_wkt([(r, np.asarray([0, len(r)])) for r in pieces])
-    return _polys_to_wkt(geo.polygon_overlay_general(ca, cb, "difference"))
+    ra = _hole_free_rings(ka, ca, oa)
+    rb = _hole_free_rings(kb, cb, ob)
+    if ra is None or rb is None:
+        return None  # members with holes: unsupported overlay
+    out: list = []
+    for a2 in ra:
+        # subtract B's members sequentially from this A member's pieces;
+        # a hole-bearing intermediate (containment) is only valid if no
+        # further subtraction follows — otherwise honest null
+        cur: list = [(np.asarray(a2, dtype=np.float64), np.asarray([0, len(a2)]))]
+        for j, b2 in enumerate(rb):
+            nxt: list = []
+            for c2, o2 in cur:
+                if len(o2) != 2:
+                    return None  # would need polygon-with-hole \ ring
+                d = _ring_pair_difference(c2, b2)
+                if d is None:
+                    return None
+                nxt.extend(d)
+            cur = nxt
+        out.extend(cur)
+    return _polys_to_wkt(out)
 
 
 def _overlay_union(ga, gb) -> str | None:

@@ -851,3 +851,35 @@ def test_union_self_overlapping_linework(registered):
                                   'MULTILINESTRING ((0 0, 3 0), (2 0, 5 0))')) ln
     """).collect()[0]
     assert r["ln"] == 5.0
+
+
+def test_multipolygon_overlay(registered):
+    """MULTIPOLYGON operands in st_intersection/st_difference: member
+    parts are disjoint, so pairwise single-ring results concatenate
+    exactly; convex chains decompose via half-planes (no hole-bearing
+    intermediate); a concave containment mid-chain is honest null."""
+    spark = registered
+    r = spark.sql("""
+        select st_intersection('MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((10 0, 14 0, 14 4, 10 4, 10 0)))',
+                               'POLYGON ((2 1, 12 1, 12 3, 2 3, 2 1))') i,
+               st_difference('MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((10 0, 14 0, 14 4, 10 4, 10 0)))',
+                             'POLYGON ((2 1, 12 1, 12 3, 2 3, 2 1))') d,
+               st_difference('POLYGON ((2 1, 12 1, 12 3, 2 3, 2 1))',
+                             'MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((10 0, 14 0, 14 4, 10 4, 10 0)))') dr,
+               st_difference('POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0))',
+                             'MULTIPOLYGON (((2 2, 4 2, 4 4, 2 4, 2 2)), ((6 6, 8 6, 8 8, 6 8, 6 6)))') chain,
+               st_difference('POLYGON ((0 0, 20 0, 20 20, 10 15, 0 20, 0 0))',
+                             'MULTIPOLYGON (((2 2, 4 2, 4 4, 2 4, 2 2)), ((6 6, 8 6, 8 8, 6 8, 6 6)))') concave_chain,
+               st_intersection('POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (2 2, 3 2, 3 3, 2 3, 2 2))',
+                               'POLYGON ((2 1, 12 1, 12 3, 2 3, 2 1))') holes
+    """).collect()[0]
+
+    def area(w):
+        return sum(abs(geo.polygon_area_deg2(c, o)) for _k, c, o in geo.geom_parts(*geo.parse_wkt(w)))
+
+    assert area(r["i"]) == pytest.approx(8.0)
+    assert area(r["d"]) == pytest.approx(24.0)
+    assert area(r["dr"]) == pytest.approx(12.0)
+    assert area(r["chain"]) == pytest.approx(392.0)
+    assert r["concave_chain"] is None  # hole-bearing intermediate: honest null
+    assert r["holes"] is None  # members with holes stay unsupported
