@@ -884,12 +884,13 @@ _AREAL = ("POLYGON", "MULTIPOLYGON")
 
 def _overlay_intersection(ga, gb) -> str | None:
     """A ∩ B WKT. Exact for every pairing involving points or linework
-    (any polygon shape, holes included) and for single-ring
-    polygon×polygon: Sutherland–Hodgman when a ring is convex (handles
-    shared-edge degeneracies), Greiner–Hormann for concave×concave in
-    generic position (proper boundary crossings only — degenerate
-    contact, holes, and multipolygon overlay return None: SQL null,
-    honest unsupported, never an approximation)."""
+    (any polygon shape, holes included) and for (MULTI)POLYGON pairs
+    whose members are hole-free: members decompose pairwise —
+    Sutherland–Hodgman for convex×convex member pairs (handles
+    shared-edge degeneracies), Greiner–Hormann for concave members in
+    generic position. Degenerate member contact and members WITH holes
+    return None: SQL null, honest unsupported, never an
+    approximation."""
     ka, ca, oa = ga
     kb, cb, ob = gb
     if ka == "GEOMETRYCOLLECTION" or kb == "GEOMETRYCOLLECTION":
@@ -1001,10 +1002,14 @@ def _polys_to_wkt(parts) -> str | None:
 
 def _overlay_difference(ga, gb) -> str | None:
     """A \\ B WKT. Subtracting a lower-dimension geometry is identity;
-    point and line subjects are exact for any B; single-ring polygon
-    minus polygon via half-plane decomposition (both convex, exact
-    incl. shared edges) or Greiner–Hormann (concave, generic position;
-    containment without crossings yields the polygon-with-hole)."""
+    point and line subjects are exact for any B. Areal subjects:
+    (MULTI)POLYGON operands decompose into hole-free members; B's
+    members subtract sequentially from each A member's pieces via
+    half-plane decomposition (convex pairs, exact incl. shared edges)
+    or Greiner–Hormann (concave, generic position). Non-interacting B
+    members are skipped exactly; a B member strictly interior to a
+    hole-bearing piece appends as another hole. Members WITH holes, and
+    interactions the chain cannot express, return None."""
     ka, ca, oa = ga
     kb, cb, ob = gb
     dim = {"POINT": 0, "MULTIPOINT": 0, "LINESTRING": 1, "MULTILINESTRING": 1, "POLYGON": 2, "MULTIPOLYGON": 2}
@@ -1038,15 +1043,25 @@ def _overlay_difference(ga, gb) -> str | None:
         return None  # members with holes: unsupported overlay
     out: list = []
     for a2 in ra:
-        # subtract B's members sequentially from this A member's pieces;
-        # a hole-bearing intermediate (containment) is only valid if no
-        # further subtraction follows — otherwise honest null
+        # subtract B's members sequentially from this A member's pieces
         cur: list = [(np.asarray(a2, dtype=np.float64), np.asarray([0, len(a2)]))]
-        for j, b2 in enumerate(rb):
+        for b2 in rb:
             nxt: list = []
             for c2, o2 in cur:
+                contact = _piece_contact(c2, o2, b2)
+                if contact == "disjoint":
+                    nxt.append((c2, o2))  # no interaction: piece unchanged
+                    continue
+                if contact == "interior":
+                    # b2 strictly inside this piece's interior (checked
+                    # against shell AND existing holes): append as a hole
+                    hole = geo._ccw_ring(np.asarray(b2, dtype=np.float64))[::-1]
+                    nxt.append(
+                        (np.concatenate([c2, hole]), np.concatenate([o2, [o2[-1] + len(hole)]]))
+                    )
+                    continue
                 if len(o2) != 2:
-                    return None  # would need polygon-with-hole \ ring
+                    return None  # crossing a hole-bearing piece: unsupported
                 d = _ring_pair_difference(c2, b2)
                 if d is None:
                     return None
@@ -1054,6 +1069,32 @@ def _overlay_difference(ga, gb) -> str | None:
             cur = nxt
         out.extend(cur)
     return _polys_to_wkt(out)
+
+
+def _piece_contact(c2, o2, b2) -> str:
+    """Exact classification of ring ``b2`` against piece (c2, o2):
+    'disjoint' (no boundary contact, b2 outside the piece), 'interior'
+    (no boundary contact, b2 strictly inside the piece's interior), or
+    'interacting' (anything else — boundaries touch or cross, or the
+    piece sits inside b2)."""
+    b = np.asarray(b2, dtype=np.float64)
+    proper, touch, overlap = geo.segment_contact_matrices(
+        geo.line_edges(b), geo.polygon_edges(np.asarray(c2, dtype=np.float64), np.asarray(o2))
+    )
+    if proper.any() or touch.any() or overlap.any():
+        return "interacting"
+    cls = geo.classify_points_in_polygon(b[:-1, 0], b[:-1, 1], c2, o2)
+    if (cls == 2).all():
+        return "interior"
+    if (cls == 0).all():
+        # b2 fully outside the piece — unless the PIECE is inside b2
+        # (b2 swallows the piece: a real subtraction, not disjoint)
+        c = np.asarray(c2, dtype=np.float64)
+        b_off = np.asarray([0, len(b)])
+        if geo.classify_points_in_polygon(c[:1, 0], c[:1, 1], b, b_off)[0] == 2:
+            return "interacting"
+        return "disjoint"
+    return "interacting"
 
 
 def _overlay_union(ga, gb) -> str | None:

@@ -870,6 +870,10 @@ def test_multipolygon_overlay(registered):
                              'MULTIPOLYGON (((2 2, 4 2, 4 4, 2 4, 2 2)), ((6 6, 8 6, 8 8, 6 8, 6 6)))') chain,
                st_difference('POLYGON ((0 0, 20 0, 20 20, 10 15, 0 20, 0 0))',
                              'MULTIPOLYGON (((2 2, 4 2, 4 4, 2 4, 2 2)), ((6 6, 8 6, 8 8, 6 8, 6 6)))') concave_chain,
+               st_difference('POLYGON ((2 -5, 8 -5, 8 5, 2 5, 2 -5))',
+                             'MULTIPOLYGON (((0 10, 1 10, 1 11, 0 11, 0 10)), ((0 13, 1 13, 1 14, 0 14, 0 13)))') disjoint_b,
+               st_difference('POLYGON ((2 2, 3 2, 3 3, 2 3, 2 2))',
+                             'MULTIPOLYGON (((0 0, 9 0, 9 9, 0 9, 0 0)), ((20 20, 21 20, 21 21, 20 21, 20 20)))') swallowed,
                st_intersection('POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (2 2, 3 2, 3 3, 2 3, 2 2))',
                                'POLYGON ((2 1, 12 1, 12 3, 2 3, 2 1))') holes
     """).collect()[0]
@@ -881,5 +885,14 @@ def test_multipolygon_overlay(registered):
     assert area(r["d"]) == pytest.approx(24.0)
     assert area(r["dr"]) == pytest.approx(12.0)
     assert area(r["chain"]) == pytest.approx(392.0)
-    assert r["concave_chain"] is None  # hole-bearing intermediate: honest null
+    # concave shell with two strictly-interior members: both append as
+    # holes (exact interaction classification), no null
+    ck, cc, co = geo.parse_wkt(r["concave_chain"])
+    assert ck == "POLYGON" and len(co) == 4  # shell + 2 holes
+    shell_area = abs(geo.polygon_area_deg2(cc[:co[1]], np.asarray([0, co[1]])))
+    assert area(r["concave_chain"]) == pytest.approx(shell_area - 8.0)
+    # B entirely disjoint: A passes through UNCHANGED (no fragmentation)
+    assert r["disjoint_b"] == "POLYGON ((2 -5, 8 -5, 8 5, 2 5, 2 -5))"
+    # first B member swallows A entirely
+    assert r["swallowed"] == "POLYGON EMPTY"
     assert r["holes"] is None  # members with holes stay unsupported
