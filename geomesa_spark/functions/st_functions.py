@@ -1099,11 +1099,12 @@ def _piece_contact(c2, o2, b2) -> str:
 
 def _overlay_union(ga, gb) -> str | None:
     """A ∪ B WKT for same-dimension operands: point sets merge,
-    linework merges as A + (B \\ A), single-ring polygons via
-    Greiner–Hormann (interlocking shapes correctly enclose holes;
-    crossing-free containment/disjoint resolved by classification).
-    Mixed-dimension unions (a true GEOMETRYCOLLECTION result) and
-    degenerate polygon contact return None."""
+    linework merges as A + (B \\ A), (MULTI)POLYGONs with hole-free
+    members merge member-by-member — disjoint members concatenate,
+    pairwise interactions union via Greiner–Hormann (interlocking
+    shapes correctly enclose holes), interior members absorb.
+    Mixed-dimension unions, degenerate polygon contact, members with
+    holes, and a member bridging several parts return None."""
     ka, ca, oa = ga
     kb, cb, ob = gb
     if ka in _POINTY and kb in _POINTY:
@@ -1120,8 +1121,36 @@ def _overlay_union(ga, gb) -> str | None:
                 pieces = [seg for p in pieces for seg in geo.line_difference_line(p, covered)]
             lines.extend(pieces)
         return _pieces_to_wkt([], lines, "GEOMETRYCOLLECTION EMPTY")
-    if ka == "POLYGON" and kb == "POLYGON" and len(oa) == 2 and len(ob) == 2:
-        return _polys_to_wkt(geo.polygon_overlay_general(ca, cb, "union"))
+    if ka in _AREAL and kb in _AREAL:
+        ra = _hole_free_rings(ka, ca, oa)
+        rb = _hole_free_rings(kb, cb, ob)
+        if ra is None or rb is None:
+            return None  # members with holes: unsupported overlay
+        # merge B's members into A's (disjoint) part list one at a time:
+        # disjoint member → new part; member interacting with exactly ONE
+        # single-ring part → GH pairwise union replaces it; member
+        # strictly inside a part → absorbed. A member bridging several
+        # parts (their transitive merge) and contact with a hole-bearing
+        # part return honest null.
+        parts: list = [(np.asarray(r, dtype=np.float64), np.asarray([0, len(r)])) for r in ra]
+        for b2 in rb:
+            hits = [i for i, (c2, o2) in enumerate(parts) if _piece_contact(c2, o2, b2) != "disjoint"]
+            if not hits:
+                b = np.asarray(b2, dtype=np.float64)
+                parts.append((b, np.asarray([0, len(b)])))
+                continue
+            if len(hits) > 1:
+                return None  # member bridges parts: transitive merge unsupported
+            c2, o2 = parts[hits[0]]
+            if _piece_contact(c2, o2, b2) == "interior":
+                continue  # swallowed by the part's interior
+            if len(o2) != 2:
+                return None  # interacting with a hole-bearing part
+            merged = geo.polygon_overlay_general(c2, b2, "union")
+            if merged is None or len(merged) != 1:
+                return None
+            parts[hits[0]] = merged[0]
+        return _polys_to_wkt(parts)
     return None
 
 

@@ -896,3 +896,25 @@ def test_multipolygon_overlay(registered):
     # first B member swallows A entirely
     assert r["swallowed"] == "POLYGON EMPTY"
     assert r["holes"] is None  # members with holes stay unsupported
+
+
+def test_multipolygon_union(registered):
+    """st_union with MULTIPOLYGON operands: disjoint members concatenate,
+    an interacting member merges pairwise via GH, an interior member is
+    absorbed; a member bridging two parts is honest null."""
+    spark = registered
+    MP = "'MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((10 0, 14 0, 14 4, 10 4, 10 0)))'"
+    r = spark.sql(f"""
+        select st_union({MP}, 'POLYGON ((20 0, 22 0, 22 2, 20 2, 20 0))') add_disjoint,
+               st_union({MP}, 'POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))') merge_one,
+               st_union({MP}, 'POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))') absorb,
+               st_union({MP}, 'POLYGON ((2 1, 12 1, 12 3, 2 3, 2 1))') bridge
+    """).collect()[0]
+
+    def area(w):
+        return sum(abs(geo.polygon_area_deg2(c, o)) for _k, c, o in geo.geom_parts(*geo.parse_wkt(w)))
+
+    assert area(r["add_disjoint"]) == pytest.approx(36.0)
+    assert area(r["merge_one"]) == pytest.approx(44.0)
+    assert area(r["absorb"]) == pytest.approx(32.0)
+    assert r["bridge"] is None  # transitive merge across parts: unsupported
