@@ -3,16 +3,29 @@
 
 Runs the headline operator suite at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
-prints ONE JSON line::
+prints ONE **compact** JSON line::
 
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": ..., "pages_per_sec": ...}
+     "queries": {name: min_sec, ...}, "sf": ..., "pages_per_sec": ...,
+     "scaling": {"eff_2_to_8": ...}, "detail": "BENCH/run_detail_rN.json"}
+
+The driver captures only the tail of stdout (~2.2 KB): round 3's line
+grew past that (per-query run lists + spreads inline) and the official
+BENCH_r03.json recorded ``parsed: null``. So the printed line now holds
+ONLY the per-query minimums + headline numbers, and everything else
+(per-run lists, spreads, diff-vs-previous-round, scaling worker detail)
+is written to ``BENCH/run_detail_r{N}.json``.
 
 The headline number for BASELINE.json's north rule is ``pages_per_sec``:
 throughput of the full pages pipeline (synthesize Common-Crawl-shaped
 pages → Arrow-UDF geo-entity extraction → gazetteer geocode → broadcast
-PIP join → tile counts). Scaling-efficiency evidence (same job at two
-parallelism levels) is produced by ``bench_scaling.py`` → BENCH/BASELINE.md.
+PIP join → tile counts). North-rule scaling evidence (same job at two
+parallelism levels, N=local[2] vs 4N=local[8] — the regime where this
+VM's hardware actually offers 4x; see BENCH/BASELINE.md for the 8→32
+memory-bandwidth-ceiling control) is regenerated INLINE each bench run
+via two sequential fresh-JVM subprocesses over the just-written pages
+table, so the per-round artifact always carries both parallelism levels.
+``bench_scaling.py`` remains the full 24M-page protocol.
 """
 
 from __future__ import annotations
@@ -70,6 +83,8 @@ BENCH_QUERIES = [
     "decontamination",
     "dedup_clusters",
     "exact_substring_pairs",
+    # round 4 additions
+    "exact_substring_strided",
     # late round 3 additions
     "track_clip_length",
     "stratified_sample",
@@ -187,7 +202,6 @@ def run(spark, sf_dir: str) -> dict:
         runs.append(time.perf_counter() - t0)
     pages_sec = min(runs)
     timings["pages_pipeline"] = round(pages_sec, 3)
-    timings["pages_pipeline_runs"] = [round(r, 3) for r in runs]
     total += pages_sec
 
     # min of QUERY_REPEATS per query: hypervisor contention on this VM
@@ -198,7 +212,7 @@ def run(spark, sf_dir: str) -> dict:
     # full per-run list + spread is persisted so a one-off hypervisor stall
     # is visible as spread, not misread as a code regression.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPEATS", "3"))
-    run_detail: dict[str, dict] = {}
+    run_detail: dict[str, dict] = {"pages_pipeline": {"runs": [round(r, 3) for r in runs]}}
     order = list(BENCH_QUERIES)
     if os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE"):  # order-shuffled control run
         import random
@@ -229,28 +243,133 @@ def run(spark, sf_dir: str) -> dict:
     )
     if flagged and diff is not None:
         diff["regression_flags"] = flagged  # >1.5x round-over-round: investigate before trusting
-    return {
-        **({"diff_vs_prev": diff} if diff else {}),
+    compact = {
         "metric": "headline suite wall time (pages pipeline + operator queries)",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
-        "query_runs": run_detail,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "pages_per_sec": round(N_PAGES / pages_sec, 1),
         "n_pages": N_PAGES,
         "cpus": CPUS,
         "n_polygon_rows": int(n_polygon_rows),
     }
+    if flagged:
+        compact["regression_flags"] = flagged[:5]
+    detail = {"query_runs": run_detail}
+    if diff:
+        detail["diff_vs_prev"] = diff
+    return compact, detail
+
+
+def scaling_worker(cpus: int) -> None:
+    """One parallelism level of the inline scaling evidence: fused pages
+    pipeline at local[cpus] over the table the parent bench run just wrote
+    (reuse=True — same invocation, so the rewrite-every-session rule from
+    BENCH/BASELINE.md's stale-table forensics is not violated). Full-width
+    warmup absorbs the cold parquet re-read + python-worker fork; min of
+    the timed runs = steady-state capability."""
+    from geomesa_spark import contract
+
+    spark = build_spark(cpus)
+    try:
+        pages_path = materialize_pages(spark, N_PAGES, reuse=True)
+        pages = spark.read.parquet(pages_path).coalesce(cpus * 3)
+        dfo = contract.pages_pipeline(spark, pages_df=pages)
+        dfo.count()  # warmup
+        runs = []
+        for _ in range(int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "4"))):
+            t0 = time.perf_counter()
+            dfo.count()
+            runs.append(time.perf_counter() - t0)
+    finally:
+        spark.stop()
+    print(
+        "WORKER_RESULT "
+        + json.dumps(
+            {
+                "cpus": cpus,
+                "pipeline_sec": round(min(runs), 3),
+                "pipeline_runs": [round(r, 3) for r in runs],
+                "pages_per_sec": round(N_PAGES / min(runs), 1),
+            }
+        )
+    )
+
+
+def run_scaling() -> tuple[dict | None, dict]:
+    """North-rule scaling evidence (N=local[2] vs 4N=local[8]) regenerated
+    from the normal bench run: two SEQUENTIAL fresh-JVM subprocesses (the
+    no-overlap rule — concurrent Spark sessions contaminate timings on
+    this VM) over the same stored pages table. Returns (compact, detail)."""
+    import subprocess
+
+    detail: dict = {}
+    for cpus in (2, 8):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cpus)],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        line = next(
+            (ln for ln in proc.stdout.splitlines() if ln.startswith("WORKER_RESULT ")), None
+        )
+        if line is None:
+            detail[f"worker_{cpus}_stderr"] = proc.stderr[-2000:]
+            return None, detail
+        detail[str(cpus)] = json.loads(line[len("WORKER_RESULT ") :])
+    eff = (detail["8"]["pages_per_sec"] / detail["2"]["pages_per_sec"]) / 4.0
+    compact = {
+        "pps_n2": detail["2"]["pages_per_sec"],
+        "pps_n8": detail["8"]["pages_per_sec"],
+        "eff_2_to_8": round(eff, 3),
+    }
+    return compact, detail
+
+
+def _next_round() -> int:
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        for m in [re.search(r"BENCH_r(\d+)\.json$", p)]
+        if m
+    ]
+    return (max(rounds) + 1) if rounds else 0
 
 
 def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--scaling-worker":
+        scaling_worker(int(sys.argv[2]))
+        return
     spark = build_spark(CPUS)
     try:
-        result = run(spark, SF_DIR)
+        compact, detail = run(spark, SF_DIR)
     finally:
         spark.stop()
-    print(json.dumps(result))
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
+        scaling_compact, scaling_detail = run_scaling()
+        detail["scaling"] = scaling_detail
+        if scaling_compact:
+            compact["scaling"] = scaling_compact
+    here = os.path.dirname(os.path.abspath(__file__))
+    os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
+    detail_rel = f"BENCH/run_detail_r{_next_round()}.json"
+    with open(os.path.join(here, detail_rel), "w") as f:
+        json.dump({"compact": compact, **detail}, f, indent=1)
+    compact["detail"] = detail_rel
+    # ONE compact line: the driver tail-captures ~2.2 KB of stdout, and
+    # round 3's fat line (runs + spreads inline) came back `parsed: null`.
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 2100:  # last-resort guard: never ship an unparseable tail again
+        compact.pop("queries", None)
+        compact["queries_in"] = detail_rel
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -574,3 +574,142 @@ def connected_components(
     canon.unpersist()
     loop_nodes.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Exact shared-substring dedup (Lee et al. 2022 "ExactSubstr", Spark shape)
+# ---------------------------------------------------------------------------
+
+def _esub_anchors(docs: DataFrame, k: int, id_col: str, text_col: str) -> DataFrame:
+    """Positional K-char anchor table (id, i, g): one 60-bit md5-prefix
+    hash per character position (row-local transform/filter — no per-row
+    Python, no shuffle). Same anchor identity as the DuckDB oracle."""
+    expr = F.expr(
+        f"filter(transform(sequence(1, greatest(length({text_col}), 1)), "
+        f"i -> struct(i as i, substring({text_col}, i, {k}) as s)), "
+        f"x -> length(x.s) = {k})"
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), F.explode(expr).alias("ps")).select(
+        "doc_id",
+        F.col("ps.i").alias("i"),
+        F.conv(F.substring(F.md5(F.col("ps.s").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("g"),
+    )
+
+
+def _esub_best_spans(m: DataFrame, k: int, step: int) -> DataFrame:
+    """Merge aligned anchor matches (da, db, ia, ib) into maximal runs,
+    gaps-and-islands style: consecutive ia (spaced exactly ``step``) on
+    one (da, db, ia-ib) diagonal form one island of c anchors covering a
+    span of (c-1)*step + k characters. Returns per-pair (da, db, ms, ns):
+    longest span and number of distinct maximal runs."""
+    isl = m.select("da", "db", (F.col("ia") - F.col("ib")).alias("diag"), "ia").withColumn(
+        "iid",
+        F.col("ia")
+        - F.lit(step) * F.row_number().over(Window.partitionBy("da", "db", "diag").orderBy("ia")),
+    )
+    runs = isl.groupBy("da", "db", "diag", "iid").agg(
+        ((F.count(F.lit(1)) - 1) * F.lit(step) + F.lit(k)).alias("span")
+    )
+    return runs.groupBy("da", "db").agg(F.max("span").alias("ms"), F.count(F.lit(1)).alias("ns"))
+
+
+def exact_substring_pairs(
+    docs: DataFrame,
+    k: int = 20,
+    dup_span: int = 40,
+    stride: int = 1,
+    anchor_df_cap: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Doc pairs sharing a verbatim character run, with exact longest-run
+    length — the suffix-array ExactSubstr dedup re-expressed as anchor
+    equi-join + run merge (no suffix array, no per-row Python).
+
+    Output: (da, db, max_span, n_spans, is_dup) with da < db.
+
+    ``stride=1`` (default): EXACT — every pair sharing a run >= k chars,
+    true max_span/n_spans. This is the oracle twin the driver checks.
+
+    ``stride=t > 1`` (the 100-TB knob): the join's probe side keeps only
+    anchors at positions 1, 1+t, 1+2t, ... (index side stays dense), so
+    the anchor join shuffles ~(1+1/t)/2 of the dense volume. Any shared
+    run of span s contains a probe anchor iff s >= k + t - 1, and its
+    detected span is >= s - 2(t-1); candidates are therefore taken at
+    detected >= dup_span - 2(t-1) and then EXACTLY re-verified with
+    dense anchors restricted (broadcast) to the candidate pairs. Result:
+    exactly the stride=1 rows with max_span >= dup_span — guaranteed
+    recall for dup pairs (requires dup_span >= k + t - 1, asserted),
+    exact spans, sub-dup_span pairs not reported.
+
+    ``anchor_df_cap=c``: drop anchors appearing in > c documents before
+    the join (hot boilerplate anchors dominate shuffle volume exactly
+    like hot LSH buckets). Lossy ONLY for pairs whose every shared run
+    consists solely of capped anchors; recall preservation on real
+    corpora is an empirical property (tested on the fixture), not a
+    guarantee — same contract as the LSH bucket cap.
+    """
+    if stride > 1 and dup_span < k + stride - 1:
+        raise ValueError(
+            f"recall guarantee needs dup_span >= k + stride - 1 "
+            f"(got dup_span={dup_span}, k={k}, stride={stride})"
+        )
+    # materialize once (eager localCheckpoint): both join sides read the
+    # anchor table instead of re-deriving md5 anchors, and the join gets
+    # real size stats (A/B-measured ~2x; see contract.q_exact_substring_pairs)
+    pg = _esub_anchors(docs, k, id_col, text_col).localCheckpoint(eager=True)
+    if anchor_df_cap is not None:
+        hot = (
+            pg.groupBy("g")
+            .agg(F.count_distinct("doc_id").alias("df"))
+            .where(F.col("df") > anchor_df_cap)
+            .select("g")
+        )
+        # hot set is tiny by construction (only boilerplate anchors repeat
+        # across > cap docs) -> broadcast anti-join, no extra shuffle of pg
+        pg = pg.join(F.broadcast(hot), "g", "left_anti")
+
+    probe = pg if stride == 1 else pg.where((F.col("i") - 1) % stride == 0)
+    m = (
+        probe.alias("a")
+        .join(
+            pg.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.i").alias("ia"),
+            F.col("b.i").alias("ib"),
+        )
+    )
+    if stride == 1:
+        best = _esub_best_spans(m, k, 1)
+    else:
+        # probe anchors within one run sit at consecutive strided
+        # positions, but their diagonal partners pin ia steps to exactly
+        # `stride` only when both docs advance together — which aligned
+        # runs do. Candidate pairs, then dense re-verify:
+        cand = (
+            _esub_best_spans(m, k, stride)
+            .where(F.col("ms") >= dup_span - 2 * (stride - 1))
+            .select("da", "db")
+        )
+        pa = (
+            pg.join(F.broadcast(cand), pg.doc_id == cand.da)
+            .select("da", "db", F.col("i").alias("ia"), "g")
+            .alias("p")
+        )
+        m_exact = pa.join(
+            pg.alias("b"), (F.col("b.g") == F.col("p.g")) & (F.col("b.doc_id") == F.col("p.db"))
+        ).select("da", "db", "ia", F.col("b.i").alias("ib"))
+        best = _esub_best_spans(m_exact, k, 1).where(F.col("ms") >= dup_span)
+    return best.select(
+        "da",
+        "db",
+        F.col("ms").cast("long").alias("max_span"),
+        F.col("ns").cast("long").alias("n_spans"),
+        (F.col("ms") >= dup_span).cast("long").alias("is_dup"),
+    )

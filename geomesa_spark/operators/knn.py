@@ -41,6 +41,26 @@ from geomesa_spark.operators.spatial_join import haversine_expr, with_grid_cell
 
 M_PER_DEG = 111_194.93  # pi * R_mean / 180
 
+# Candidate-cell frames are (long, long, double, double) ≈ 32 B/row plus
+# broadcast-table overhead; ~1.5M rows ≈ 50 MB keeps the per-round
+# broadcast comfortably inside executor/driver memory. Above this the
+# ring join flips to a plain shuffle join (AQE still free to pick a
+# runtime broadcast if the deduped frame turns out small) — an
+# unconditional hint at 1e5 queries x geometric annuli is millions of
+# rows and an OOM at exactly the scale the executor-side rewrite
+# targets. Mirrors spatial_join(strategy='auto')'s cover-size flip.
+BROADCAST_MAX_CAND_ROWS = 1_500_000
+
+
+def _cand_join(pts: DataFrame, cand_cells: DataFrame, est_rows: int) -> DataFrame:
+    """Join the cached cell-keyed point table against one round's
+    candidate-cell frame: broadcast only while the ESTIMATED candidate
+    count (n_active x annulus offsets — an upper bound; wrap-dedup only
+    shrinks it) fits BROADCAST_MAX_CAND_ROWS."""
+    if est_rows > BROADCAST_MAX_CAND_ROWS:
+        return pts.join(cand_cells, "cell", "inner")
+    return pts.join(F.broadcast(cand_cells), "cell", "inner")
+
 
 def _cell_min_dist(qlon, qlat, cell_ids: np.ndarray, level: int, metric: str) -> np.ndarray:
     """Lower bound of distance from (qlon, qlat) to each cell's box.
@@ -184,7 +204,9 @@ def knn_join(
         cand_cells = active_df.mapInPandas(
             explode_annulus(r_done + 1, target), "cell long, qid long, q_lon double, q_lat double"
         )
-        joined = pts.join(F.broadcast(cand_cells), "cell", "inner")
+        r_lo = r_done + 1
+        n_off = (2 * target + 1) ** 2 - (max(0, 2 * r_lo - 1)) ** 2
+        joined = _cand_join(pts, cand_cells, n_active * max(n_off, 0))
         dist = (
             haversine_expr("p_lon", "p_lat", "q_lon", "q_lat")
             if metric == "haversine"

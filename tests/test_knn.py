@@ -147,3 +147,35 @@ def test_knn_ten_thousand_queries_executor_side(spark):
     sub = got[got["qid"].isin(sample_qids)].reset_index(drop=True)
     assert sub[["qid", "pid", "rnk"]].values.tolist() == want[["qid", "pid", "rnk"]].values.tolist()
     assert np.allclose(sub["dist"], want["dist"], rtol=1e-9)
+
+
+def test_cand_join_flips_off_broadcast_above_threshold(spark):
+    """Size-aware candidate join (VERDICT r3 ask #3): below
+    BROADCAST_MAX_CAND_ROWS the ring join carries an explicit broadcast
+    hint; above it, no hint — the frame is left to a plain shuffle join
+    (AQE may still pick a runtime broadcast if the actual frame is
+    small, which is exactly the desired behavior; what must NOT happen
+    is an unconditional hint forcing a multi-GB broadcast)."""
+    pts = spark.range(100).selectExpr("id pid", "cast(id as double) p_lon", "cast(id as double) p_lat", "id % 7 cell")
+    cand = spark.range(50).selectExpr("id % 7 cell", "id qid", "cast(id as double) q_lon", "cast(id as double) q_lat")
+    hinted = knn_mod._cand_join(pts, cand, est_rows=1000)
+    unhinted = knn_mod._cand_join(pts, cand, est_rows=knn_mod.BROADCAST_MAX_CAND_ROWS + 1)
+    assert "strategy=broadcast" in hinted._jdf.queryExecution().analyzed().toString()
+    assert "strategy=broadcast" not in unhinted._jdf.queryExecution().analyzed().toString()
+
+
+def test_knn_join_correct_under_forced_shuffle_join(spark, fixture_data, monkeypatch):
+    """Every ring join forced down the non-broadcast path (threshold 0):
+    output must be identical to the broadcast path / exhaustive oracle."""
+    monkeypatch.setattr(knn_mod, "BROADCAST_MAX_CAND_ROWS", 0)
+    points, queries = fixture_data
+    df = spark.createDataFrame(points).repartition(8)
+    got = (
+        knn_mod.knn_join(df, queries, K, metric="planar")
+        .toPandas()
+        .sort_values(["qid", "rnk"])
+        .reset_index(drop=True)
+    )
+    want = brute_knn(points, queries, K, metric="planar")
+    assert got[["qid", "pid", "rnk"]].values.tolist() == want[["qid", "pid", "rnk"]].values.tolist()
+    assert np.allclose(got["dist"], want["dist"], rtol=1e-9)
