@@ -750,13 +750,21 @@ def _relate_collection(ka, ca, oa, kb, cb, ob) -> Relate:
     and combine pairwise relates. Contact/crossing flags are exact (union
     semantics); covers is the conservative per-part form — B is covered if
     every part of B is covered by SOME single part of A (a part spanning
-    two touching A-parts is reported uncovered). Matrix is left to the
-    generic dim-based fallback."""
+    two touching A-parts is reported uncovered). The DE-9IM matrix is
+    combined exactly from the pairwise part matrices for valid
+    collections (parts disjoint and connected): interiors and boundaries
+    are unions of the parts' → cell-wise MAX; the exterior is the
+    INTERSECTION of the parts' exteriors → per-opposite-part MIN, then
+    MAX across that side's own parts (a connected part inside the
+    intersection of disjoint open exteriors lies inside one of them,
+    which makes the min exact)."""
     parts_a = geom_parts(ka, ca, oa)
     parts_b = geom_parts(kb, cb, ob)
     r = Relate(dim_a=geom_dim(ka, ca), dim_b=geom_dim(kb, cb), equal=geoms_equal(ka, ca, oa, kb, cb, ob))
     covered_b = [False] * len(parts_b)
     covered_a = [False] * len(parts_a)
+    na, nb = len(parts_a), len(parts_b)
+    mats: list[list[str]] = [[""] * nb for _ in range(na)]
     for i, pa in enumerate(parts_a):
         for j, pb in enumerate(parts_b):
             rr = relate_geoms(*pa, *pb)
@@ -767,8 +775,26 @@ def _relate_collection(ka, ca, oa, kb, cb, ob) -> Relate:
             r.any_contact = r.any_contact or rr.any_contact
             covered_b[j] = covered_b[j] or rr.a_covers_b
             covered_a[i] = covered_a[i] or rr.b_covers_a
+            mats[i][j] = de9im(rr)
     r.a_covers_b = all(covered_b)
     r.b_covers_a = all(covered_a)
+    rank = {"F": -1, "0": 0, "1": 1, "2": 2}
+    sym = "F012"
+    cells = []
+    for row in range(3):
+        for col in range(3):
+            idx = row * 3 + col
+            vals = [[rank[mats[i][j][idx]] for j in range(nb)] for i in range(na)]
+            if row == 2 and col == 2:
+                v = 2
+            elif row < 2 and col < 2:
+                v = max(max(vr) for vr in vals)
+            elif col == 2:  # X(A) ∩ E(B): union over A parts, ∩ of B exteriors
+                v = max(min(vr) for vr in vals)
+            else:  # E(A) ∩ X(B): ∩ of A exteriors, union over B parts
+                v = max(min(vals[i][j] for i in range(na)) for j in range(nb))
+            cells.append(sym[v + 1])
+    r.matrix = "".join(cells)
     return r
 
 
@@ -1781,6 +1807,72 @@ def line_difference_line(a_coords: np.ndarray, b_coords: np.ndarray) -> list[np.
         if cur < 1.0:
             kept.append(np.asarray([p + cur * np.asarray([dx, dy]), p + 1.0 * np.asarray([dx, dy])]))
     return _chain_pieces(kept)
+
+
+def chain_closed_rings(pieces: list[np.ndarray], tol: float = 1e-9) -> list[np.ndarray] | None:
+    """Assemble polyline pieces into closed rings by endpoint matching
+    (endpoints snapped within ``tol`` — cut points computed independently
+    on the two operands of a boundary overlay agree only to float eps).
+    Returns None unless every snapped endpoint has degree exactly 2 and
+    every walk closes: the honest-failure contract of the
+    boundary-rechaining overlay fallback (an ambiguous junction or an
+    open chain is never guessed at)."""
+    rings: list[np.ndarray] = []
+    open_segs: list[np.ndarray] = []
+    for p in pieces:
+        s = np.asarray(p, dtype=np.float64)
+        if len(s) < 2:
+            continue
+        if abs(s[0, 0] - s[-1, 0]) <= tol and abs(s[0, 1] - s[-1, 1]) <= tol:
+            if len(s) < 4:
+                return None  # closed sliver: degenerate
+            r = s.copy()
+            r[-1] = r[0]
+            rings.append(r)
+        else:
+            open_segs.append(s)
+    if open_segs:
+        pts = [e for s in open_segs for e in (s[0], s[-1])]
+        canon = list(range(len(pts)))
+        for i in range(len(pts)):
+            for j in range(i):
+                if canon[j] == j and abs(pts[i][0] - pts[j][0]) <= tol and abs(pts[i][1] - pts[j][1]) <= tol:
+                    canon[i] = j
+                    break
+        at: dict[int, list[tuple[int, bool]]] = {}
+        for si in range(len(open_segs)):
+            at.setdefault(canon[2 * si], []).append((si, True))
+            at.setdefault(canon[2 * si + 1], []).append((si, False))
+        if any(len(v) != 2 for v in at.values()):
+            return None
+        used = [False] * len(open_segs)
+        for start in range(len(open_segs)):
+            if used[start]:
+                continue
+            chain = [open_segs[start]]
+            used[start] = True
+            start_key = canon[2 * start]
+            cur_key = canon[2 * start + 1]
+            for _guard in range(len(open_segs)):
+                if cur_key == start_key:
+                    break
+                nxt = [(si, at_start) for si, at_start in at[cur_key] if not used[si]]
+                if len(nxt) != 1:
+                    return None
+                si, at_start = nxt[0]
+                used[si] = True
+                chain.append(open_segs[si] if at_start else open_segs[si][::-1])
+                cur_key = canon[2 * si + 1] if at_start else canon[2 * si]
+            else:
+                return None  # open chain: junctions never closed a ring
+            # the final piece already ends (within tol) at the start
+            # point — snap it exactly closed rather than appending
+            ring = np.concatenate([chain[0]] + [c[1:] for c in chain[1:]])
+            ring[-1] = ring[0]
+            if len(ring) < 4:
+                return None
+            rings.append(ring)
+    return rings
 
 
 # --- CRS transform (EPSG:4326 <-> EPSG:3857) --------------------------------

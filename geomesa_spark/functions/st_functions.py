@@ -884,12 +884,14 @@ _AREAL = ("POLYGON", "MULTIPOLYGON")
 
 def _overlay_intersection(ga, gb) -> str | None:
     """A ∩ B WKT. Exact for every pairing involving points or linework
-    (any polygon shape, holes included) and for (MULTI)POLYGON pairs
-    whose members are hole-free: members decompose pairwise —
-    Sutherland–Hodgman for convex×convex member pairs (handles
-    shared-edge degeneracies), Greiner–Hormann for concave members in
-    generic position. Degenerate member contact and members WITH holes
-    return None: SQL null, honest unsupported, never an
+    (any polygon shape, holes included) and for (MULTI)POLYGON pairs,
+    holes included: members decompose pairwise — Sutherland–Hodgman for
+    convex×convex member pairs, Greiner–Hormann for concave members in
+    generic position — and member holes subtract via the region algebra.
+    Degenerate member contact falls back to the DE-9IM fast paths
+    (equal/covered operands answer set-theoretically; touching operands
+    return the shared boundary linework); what neither path supports
+    returns None: SQL null, honest unsupported, never an
     approximation."""
     ka, ca, oa = ga
     kb, cb, ob = gb
@@ -930,32 +932,317 @@ def _overlay_intersection(ga, gb) -> str | None:
             lines.extend(geo.line_clip_polygon(c2, pc, po, True))
         return _pieces_to_wkt([], lines, "GEOMETRYCOLLECTION EMPTY")
     if ka in _AREAL and kb in _AREAL:
-        ra = _hole_free_rings(ka, ca, oa)
-        rb = _hole_free_rings(kb, cb, ob)
-        if ra is None or rb is None:
-            return None  # members with holes: unsupported overlay
-        out: list = []
-        # members of each side are disjoint, so the pairwise results are
-        # mutually disjoint and concatenate into one (MULTI)POLYGON
-        for a2 in ra:
-            for b2 in rb:
-                r = _ring_pair_intersection(a2, b2)
-                if r is None:
-                    return None
-                out.extend(r)
-        return _polys_to_wkt(out)
+        res = _areal_intersection(ga, gb)
+        if res is None or res == "POLYGON EMPTY":
+            # degenerate contact, or an empty interior overlap that may
+            # still share boundary linework (touching operands)
+            res = _areal_relate_fallback(ga, gb, "intersection") or res
+        return res
     return None
 
 
-def _hole_free_rings(kind, coords, offs) -> list | None:
-    """Member polygons of a (MULTI)POLYGON as bare closed rings; None if
-    any member carries a hole (overlay unsupported)."""
-    rings = []
+def _areal_intersection(ga, gb) -> str | None:
+    """(sa \\ ha) ∩ (sb \\ hb) == (sa ∩ sb) \\ ha \\ hb per member pair;
+    members of each side are disjoint, so the pairwise results are
+    mutually disjoint and concatenate into one (MULTI)POLYGON."""
+    ma = _areal_members(*ga)
+    mb = _areal_members(*gb)
+    if ma is None or mb is None:
+        return None
+    out: list = []
+    for sa, ha in ma:
+        for sb, hb in mb:
+            d = _ring_pair_intersection(sa, sb)
+            if d is None:
+                return None
+            for h in ha + hb:
+                d = _region_subtract_ring(d, h)
+                if d is None:
+                    return None
+            out.extend(d)
+    return _polys_to_wkt(out)
+
+
+def _areal_members(kind, coords, offs) -> list | None:
+    """(MULTI)POLYGON members as (shell_ring, [hole_ring, ...]) with all
+    rings closed and CCW-normalized; None for non-polygonal parts."""
+    out = []
     for k2, c2, o2 in geo.geom_parts(kind, coords, offs):
-        if k2 != "POLYGON" or len(o2) != 2:
+        if k2 != "POLYGON":
             return None
-        rings.append(c2)
-    return rings
+        shell = geo._ccw_ring(np.asarray(c2[o2[0]:o2[1]], dtype=np.float64))
+        holes = [
+            geo._ccw_ring(np.asarray(c2[o2[i]:o2[i + 1]], dtype=np.float64))
+            for i in range(1, len(o2) - 1)
+        ]
+        out.append((shell, holes))
+    return out
+
+
+def _member_piece(shell, holes) -> tuple[np.ndarray, np.ndarray]:
+    """Assemble (coords, ring_offsets) from a CCW shell + hole rings
+    (holes stored CW, the parity convention of the piece machinery)."""
+    rings = [geo._ccw_ring(np.asarray(shell, dtype=np.float64))] + [
+        geo._ccw_ring(np.asarray(h, dtype=np.float64))[::-1] for h in holes
+    ]
+    cc = np.concatenate(rings)
+    oo = np.concatenate([[0], np.cumsum([len(r) for r in rings])])
+    return cc, oo
+
+
+def _piece_holes(c2, o2) -> list[np.ndarray]:
+    return [geo._ccw_ring(c2[o2[i]:o2[i + 1]]) for i in range(1, len(o2) - 1)]
+
+
+# --- exact region algebra over disjoint piece lists --------------------------
+#
+# A "region" is a list of mutually disjoint (coords, ring_offsets) polygon
+# pieces (shell + parity holes). The three primitives below reduce every
+# holed-operand overlay to single-ring kernel calls via set identities:
+#   (shell \ holes) \ r  ==  (shell \ r) \ holes
+#   (shell \ holes) ∩ r  ==  (shell ∩ r) \ holes
+#   X \ (sb \ ⊎hb)       ==  (X \ sb) ⊎ ⊎ᵢ (X ∩ hbᵢ)
+# Each returns None on degenerate boundary contact the ring-pair kernels
+# cannot trace (the caller falls back to the DE-9IM fast paths).
+
+
+def _region_subtract_ring(pieces, r) -> list | None:
+    """Subtract the area enclosed by closed ring ``r`` from a disjoint
+    piece list."""
+    rr = geo._ccw_ring(np.asarray(r, dtype=np.float64))
+    out: list = []
+    for c2, o2 in pieces:
+        contact = _piece_contact(c2, o2, rr)
+        if contact == "disjoint":
+            out.append((c2, o2))
+            continue
+        if contact == "interior":
+            # r strictly inside the piece interior: punch it as a hole.
+            # With no boundary contact every existing hole lies entirely
+            # inside or outside r — holes swallowed by r are dropped
+            # (they'd otherwise nest and flip parity).
+            r_off = np.asarray([0, len(rr)])
+            keep = [c2[o2[0]:o2[1]]]
+            for h in _piece_holes(c2, o2):
+                if geo.classify_points_in_polygon(h[:1, 0], h[:1, 1], rr, r_off)[0] != 2:
+                    keep.append(h[::-1])  # back to stored CW
+            keep.append(rr[::-1])
+            cc = np.concatenate(keep)
+            oo = np.concatenate([[0], np.cumsum([len(k) for k in keep])])
+            out.append((cc, oo))
+            continue
+        # interacting
+        shell = c2[o2[0]:o2[1]]
+        r_off = np.asarray([0, len(rr)])
+        proper, touch, ovl = geo.segment_contact_matrices(
+            geo.line_edges(rr), geo.line_edges(np.asarray(shell, dtype=np.float64))
+        )
+        if not (proper.any() or touch.any() or ovl.any()):
+            # r never meets the shell ring. Either it swallows the whole
+            # piece, or it lies inside the shell crossing only holes: the
+            # excluded region is then the 2-D union of r with the holes
+            # it meets — merged via _shell_union (whose voids are islands
+            # of KEPT area, re-emitted as their own pieces).
+            if geo.classify_points_in_polygon(shell[:1, 0], shell[:1, 1], rr, r_off)[0] == 2:
+                continue  # r swallows the piece entirely
+            touching: list = []
+            kept: list = []
+            for h in _piece_holes(c2, o2):
+                hp, ht, hv = geo.segment_contact_matrices(geo.line_edges(h), geo.line_edges(rr))
+                if hp.any() or ht.any() or hv.any():
+                    touching.append(h)
+                elif geo.classify_points_in_polygon(h[:1, 0], h[:1, 1], rr, r_off)[0] == 2:
+                    continue  # hole swallowed by r
+                else:
+                    kept.append(h)
+            merged = _shell_union([rr], touching)
+            if merged is None:
+                return None
+            hole_rings: list = []
+            islands: list = []
+            for mc, mo in merged:
+                hole_rings.append(mc[mo[0]:mo[1]])
+                for q in range(1, len(mo) - 1):
+                    islands.append(mc[mo[q]:mo[q + 1]])
+            island_holes: list = [[] for _ in islands]
+            main_kept: list = []
+            for h in kept:
+                for t, isl in enumerate(islands):
+                    if geo.classify_points_in_polygon(
+                        h[:1, 0], h[:1, 1], isl, np.asarray([0, len(isl)])
+                    )[0] == 2:
+                        island_holes[t].append(h)
+                        break
+                else:
+                    main_kept.append(h)
+            out.append(_member_piece(shell, hole_rings + main_kept))
+            for t, isl in enumerate(islands):
+                out.append(_member_piece(isl, island_holes[t]))
+            continue
+        # r crosses the shell ring: (shell \ holes) \ r == (shell \ r) \
+        # holes. The crossing guarantees hole-free (shell \ r) pieces, so
+        # the recursion strictly reduces the hole count and terminates.
+        d = _ring_pair_difference(shell, rr)
+        if d is None:
+            return None
+        for h in _piece_holes(c2, o2):
+            d = _region_subtract_ring(d, h)
+            if d is None:
+                return None
+        out.extend(d)
+    return out
+
+
+def _region_intersect_ring(pieces, r) -> list | None:
+    """Clip a disjoint piece list to the area enclosed by closed ring
+    ``r``: (shell ∩ r) \\ holes per piece."""
+    rr = geo._ccw_ring(np.asarray(r, dtype=np.float64))
+    out: list = []
+    for c2, o2 in pieces:
+        d = _ring_pair_intersection(c2[o2[0]:o2[1]], rr)
+        if d is None:
+            return None
+        for h in _piece_holes(c2, o2):
+            d = _region_subtract_ring(d, h)
+            if d is None:
+                return None
+        out.extend(d)
+    return out
+
+
+def _region_subtract_member(pieces, sb, hb) -> list | None:
+    """X \\ (sb \\ ⊎hb) == (X \\ sb) ⊎ ⊎ᵢ (X ∩ hbᵢ): the subtracted
+    member's holes add back the parts of X they expose. The two sides
+    are disjoint (each hb lies inside sb), so the result stays a valid
+    disjoint piece list."""
+    out = _region_subtract_ring(pieces, sb)
+    if out is None:
+        return None
+    for h in hb:
+        add = _region_intersect_ring(pieces, h)
+        if add is None:
+            return None
+        out.extend(add)
+    return out
+
+
+def _region_subtract_pieces(pieces, sub) -> list | None:
+    """Subtract a disjoint piece list ``sub`` (pieces may carry holes)
+    from ``pieces``."""
+    for c2, o2 in sub:
+        pieces = _region_subtract_member(pieces, c2[o2[0]:o2[1]], _piece_holes(c2, o2))
+        if pieces is None:
+            return None
+    return pieces
+
+
+def _areal_area(coords, offs) -> float:
+    """Area of a (MULTI)POLYGON ring set: Σ|shell| − Σ|holes| grouped by
+    containment depth (orientation-agnostic, unlike raw signed sums)."""
+    c = np.asarray(coords, dtype=np.float64)
+    o = np.asarray(offs)
+    ring = lambda i: c[o[i]:o[i + 1]]
+    total = 0.0
+    for s, hs in geo.multipolygon_parts(c, o):
+        total += abs(geo.ring_signed_area(ring(s))) - sum(
+            abs(geo.ring_signed_area(ring(h))) for h in hs
+        )
+    return total
+
+
+def _boundary_rechain(ga, gb, expected_area: float) -> str | None:
+    """Rebuild an overlay result whose interior structure is trivially
+    known (interiors disjoint for a touching union; B filling part of A
+    for a covered difference) from its boundary: collinear shared
+    portions cancel from BOTH operands (a shared edge becomes interior),
+    the surviving arcs re-chain into closed rings, and containment-depth
+    parity recovers shells and holes. The rechained area must reproduce
+    the set-theoretically expected area or the result is rejected —
+    None, never an approximation."""
+    ka, ca, oa = ga
+    kb, cb, ob = gb
+    rings_a = [np.asarray(ca[oa[i]:oa[i + 1]], dtype=np.float64) for i in range(len(oa) - 1)]
+    rings_b = [np.asarray(cb[ob[i]:ob[i + 1]], dtype=np.float64) for i in range(len(ob) - 1)]
+    pieces: list = []
+    for side, other in ((rings_a, rings_b), (rings_b, rings_a)):
+        for r in side:
+            cur = [r]
+            for o2 in other:
+                cur = [seg for p in cur for seg in geo.line_difference_line(p, o2)]
+            pieces.extend(cur)
+    rings = geo.chain_closed_rings(pieces)
+    if rings is None:
+        return None
+    if not rings:
+        return "POLYGON EMPTY" if abs(expected_area) <= 1e-15 else None
+    coords = np.concatenate(rings)
+    offs = np.concatenate([[0], np.cumsum([len(r) for r in rings])])
+    out: list = []
+    total = 0.0
+    for shell_idx, hole_idxs in geo.multipolygon_parts(coords, offs):
+        member = [geo._ccw_ring(rings[shell_idx])] + [
+            geo._ccw_ring(rings[h])[::-1] for h in hole_idxs
+        ]
+        mc = np.concatenate(member)
+        mo = np.concatenate([[0], np.cumsum([len(r) for r in member])])
+        total += geo.polygon_area_deg2(mc, mo)  # CCW shell + CW holes: net
+        out.append((mc, mo))
+    if abs(total - expected_area) > 1e-9 * max(1.0, abs(expected_area)):
+        return None
+    return _polys_to_wkt(out)
+
+
+def _areal_relate_fallback(ga, gb, op: str) -> str | None:
+    """Exact answers for (MULTI)POLYGON pairs the crossing-based kernels
+    reject as degenerate, recovered from the DE-9IM relationship: equal
+    and covered operands answer set-theoretically; interiors-disjoint
+    (touches) intersections return the shared boundary linework;
+    touching unions and covered differences rebuild by boundary
+    rechaining. Anything else stays None — honest unsupported."""
+    ka, ca, oa = ga
+    kb, cb, ob = gb
+    if ka not in _AREAL or kb not in _AREAL:
+        return None
+    try:
+        r = geo.relate_geoms(ka, ca, oa, kb, cb, ob)
+    except Exception:
+        return None
+    if geo.pred_equals(r):
+        return "POLYGON EMPTY" if op == "difference" else geo.wkt_any(ka, ca, oa)
+    if geo.pred_covered_by(r):  # A ⊆ B
+        if op == "intersection":
+            return geo.wkt_any(ka, ca, oa)
+        if op == "union":
+            return geo.wkt_any(kb, cb, ob)
+        return "POLYGON EMPTY"  # areal difference of a covered subject
+    if geo.pred_covers(r):  # B ⊆ A
+        if op == "intersection":
+            return geo.wkt_any(kb, cb, ob)
+        if op == "union":
+            return geo.wkt_any(ka, ca, oa)
+        return _boundary_rechain(ga, gb, _areal_area(ca, oa) - _areal_area(cb, ob))
+    if geo.pred_touches(r):  # interiors disjoint, boundaries meet
+        if op == "difference":
+            return geo.wkt_any(ka, ca, oa)
+        if op == "union":
+            return _boundary_rechain(ga, gb, _areal_area(ca, oa) + _areal_area(cb, ob))
+        # intersection: the shared boundary linework (segments + isolated
+        # touch points, points on any segment subsumed)
+        pts: list = []
+        lines: list = []
+        for i in range(len(oa) - 1):
+            for j in range(len(ob) - 1):
+                p2, s2 = geo.line_line_overlay(ca[oa[i]:oa[i + 1]], cb[ob[j]:ob[j + 1]])
+                pts.extend(p2)
+                lines.extend(s2)
+        if lines:
+            ex1 = np.asarray([s[0, 0] for s in lines])
+            ey1 = np.asarray([s[0, 1] for s in lines])
+            ex2 = np.asarray([s[1, 0] for s in lines])
+            ey2 = np.asarray([s[1, 1] for s in lines])
+            pts = [p for p in pts if not geo.points_on_segments([p[0]], [p[1]], ex1, ey1, ex2, ey2)[0]]
+        return _pieces_to_wkt(pts, lines, "GEOMETRYCOLLECTION EMPTY")
+    return None
 
 
 def _ring_pair_intersection(a2, b2) -> list | None:
@@ -1002,14 +1289,15 @@ def _polys_to_wkt(parts) -> str | None:
 
 def _overlay_difference(ga, gb) -> str | None:
     """A \\ B WKT. Subtracting a lower-dimension geometry is identity;
-    point and line subjects are exact for any B. Areal subjects:
-    (MULTI)POLYGON operands decompose into hole-free members; B's
-    members subtract sequentially from each A member's pieces via
-    half-plane decomposition (convex pairs, exact incl. shared edges)
-    or Greiner–Hormann (concave, generic position). Non-interacting B
-    members are skipped exactly; a B member strictly interior to a
-    hole-bearing piece appends as another hole. Members WITH holes, and
-    interactions the chain cannot express, return None."""
+    point and line subjects are exact for any B. Areal subjects,
+    holes included: B's members subtract sequentially from each A
+    member's pieces via the region algebra (half-plane decomposition
+    for convex pairs — exact incl. shared edges — Greiner–Hormann for
+    concave pairs in generic position; a B hole adds back the part of A
+    it exposes). Degenerate contact falls back to the DE-9IM fast paths
+    (covered subjects are empty; a covered B rebuilds A \\ B by
+    boundary rechaining; touching operands subtract nothing).
+    Interactions neither path can express return None."""
     ka, ca, oa = ga
     kb, cb, ob = gb
     dim = {"POINT": 0, "MULTIPOINT": 0, "LINESTRING": 1, "MULTILINESTRING": 1, "POLYGON": 2, "MULTIPOLYGON": 2}
@@ -1037,36 +1325,28 @@ def _overlay_difference(ga, gb) -> str | None:
                 pieces = [seg for p in pieces for seg in geo.line_difference_line(p, b2)]
             lines.extend(pieces)
         return _pieces_to_wkt([], lines, "GEOMETRYCOLLECTION EMPTY")
-    ra = _hole_free_rings(ka, ca, oa)
-    rb = _hole_free_rings(kb, cb, ob)
-    if ra is None or rb is None:
-        return None  # members with holes: unsupported overlay
+    res = _areal_difference(ga, gb)
+    if res is None:
+        res = _areal_relate_fallback(ga, gb, "difference")
+    return res
+
+
+def _areal_difference(ga, gb) -> str | None:
+    """A \\ B for (MULTI)POLYGON operands, holes included: each A member
+    starts as one piece (shell + holes) and B's members subtract
+    sequentially via the region algebra (a B hole adds back the part of
+    A it exposes)."""
+    ma = _areal_members(*ga)
+    mb = _areal_members(*gb)
+    if ma is None or mb is None:
+        return None
     out: list = []
-    for a2 in ra:
-        # subtract B's members sequentially from this A member's pieces
-        cur: list = [(np.asarray(a2, dtype=np.float64), np.asarray([0, len(a2)]))]
-        for b2 in rb:
-            nxt: list = []
-            for c2, o2 in cur:
-                contact = _piece_contact(c2, o2, b2)
-                if contact == "disjoint":
-                    nxt.append((c2, o2))  # no interaction: piece unchanged
-                    continue
-                if contact == "interior":
-                    # b2 strictly inside this piece's interior (checked
-                    # against shell AND existing holes): append as a hole
-                    hole = geo._ccw_ring(np.asarray(b2, dtype=np.float64))[::-1]
-                    nxt.append(
-                        (np.concatenate([c2, hole]), np.concatenate([o2, [o2[-1] + len(hole)]]))
-                    )
-                    continue
-                if len(o2) != 2:
-                    return None  # crossing a hole-bearing piece: unsupported
-                d = _ring_pair_difference(c2, b2)
-                if d is None:
-                    return None
-                nxt.extend(d)
-            cur = nxt
+    for sa, ha in ma:
+        cur: list | None = [_member_piece(sa, ha)]
+        for sb, hb in mb:
+            cur = _region_subtract_member(cur, sb, hb)
+            if cur is None:
+                return None
         out.extend(cur)
     return _polys_to_wkt(out)
 
@@ -1099,12 +1379,16 @@ def _piece_contact(c2, o2, b2) -> str:
 
 def _overlay_union(ga, gb) -> str | None:
     """A ∪ B WKT for same-dimension operands: point sets merge,
-    linework merges as A + (B \\ A), (MULTI)POLYGONs with hole-free
-    members merge member-by-member — disjoint members concatenate,
-    pairwise interactions union via Greiner–Hormann (interlocking
-    shapes correctly enclose holes), interior members absorb.
-    Mixed-dimension unions, degenerate polygon contact, members with
-    holes, and a member bridging several parts return None."""
+    linework merges as A + (B \\ A), (MULTI)POLYGON members merge
+    member-by-member, holes included — disjoint members concatenate,
+    interactions union via Greiner–Hormann (interlocking shapes
+    correctly enclose voids; a member spanning several parts merges
+    them transitively), interior members absorb, and operand holes are
+    carved exactly by the region algebra. Degenerate polygon contact
+    falls back to the DE-9IM fast paths (equal/covered operands answer
+    set-theoretically; edge-adjacent operands merge by boundary
+    rechaining; point-touching operands concatenate). Mixed-dimension
+    unions and what neither path supports return None."""
     ka, ca, oa = ga
     kb, cb, ob = gb
     if ka in _POINTY and kb in _POINTY:
@@ -1122,36 +1406,101 @@ def _overlay_union(ga, gb) -> str | None:
             lines.extend(pieces)
         return _pieces_to_wkt([], lines, "GEOMETRYCOLLECTION EMPTY")
     if ka in _AREAL and kb in _AREAL:
-        ra = _hole_free_rings(ka, ca, oa)
-        rb = _hole_free_rings(kb, cb, ob)
-        if ra is None or rb is None:
-            return None  # members with holes: unsupported overlay
-        # merge B's members into A's (disjoint) part list one at a time:
-        # disjoint member → new part; member interacting with exactly ONE
-        # single-ring part → GH pairwise union replaces it; member
-        # strictly inside a part → absorbed. A member bridging several
-        # parts (their transitive merge) and contact with a hole-bearing
-        # part return honest null.
-        parts: list = [(np.asarray(r, dtype=np.float64), np.asarray([0, len(r)])) for r in ra]
-        for b2 in rb:
-            hits = [i for i, (c2, o2) in enumerate(parts) if _piece_contact(c2, o2, b2) != "disjoint"]
-            if not hits:
-                b = np.asarray(b2, dtype=np.float64)
-                parts.append((b, np.asarray([0, len(b)])))
-                continue
-            if len(hits) > 1:
-                return None  # member bridges parts: transitive merge unsupported
-            c2, o2 = parts[hits[0]]
-            if _piece_contact(c2, o2, b2) == "interior":
-                continue  # swallowed by the part's interior
-            if len(o2) != 2:
-                return None  # interacting with a hole-bearing part
-            merged = geo.polygon_overlay_general(c2, b2, "union")
+        res = _areal_union(ga, gb)
+        if res is None:
+            res = _areal_relate_fallback(ga, gb, "union")
+        return res
+    return None
+
+
+def _shell_union(ra: list, rb: list) -> list | None:
+    """Union of hole-free shell rings: merge B's shells into A's
+    (disjoint) part list one at a time — disjoint member → new part;
+    member interacting with exactly ONE single-ring part → GH pairwise
+    union replaces it (interlocking shapes correctly enclose void
+    holes); interior member absorbs. A member bridging several parts
+    (their transitive merge) and contact with a hole-bearing part
+    return honest null."""
+    parts: list = [(np.asarray(r, dtype=np.float64), np.asarray([0, len(r)])) for r in ra]
+    for b2 in rb:
+        hits = [i for i, (c2, o2) in enumerate(parts) if _piece_contact(c2, o2, b2) != "disjoint"]
+        if not hits:
+            b = np.asarray(b2, dtype=np.float64)
+            parts.append((b, np.asarray([0, len(b)])))
+            continue
+        if len(hits) == 1 and _piece_contact(*parts[hits[0]], b2) == "interior":
+            continue  # swallowed by the part's interior
+        # a member hitting several parts merges them transitively: fold
+        # pairwise GH unions through the hit list (each intermediate must
+        # stay a single void-free ring — a void mid-fold is honest null)
+        cur = (np.asarray(b2, dtype=np.float64), np.asarray([0, len(b2)]))
+        for i in hits:
+            c2, o2 = parts[i]
+            if len(o2) != 2 or len(cur[1]) != 2:
+                return None  # merging across a void-bearing part
+            merged = geo.polygon_overlay_general(c2, cur[0], "union")
             if merged is None or len(merged) != 1:
                 return None
-            parts[hits[0]] = merged[0]
+            cur = merged[0]
+        parts = [p for k, p in enumerate(parts) if k not in hits]
+        parts.append(cur)
+    return parts
+
+
+def _areal_union(ga, gb) -> str | None:
+    """(MULTI)POLYGON ∪ (MULTI)POLYGON, holes included. Shells merge via
+    _shell_union; the union's holes are then carved exactly: a point
+    inside the shell union misses A ∪ B iff it sits in an A-hole
+    uncovered by A's other members and by B (pieces h \\ othersA \\ B,
+    where subtracting a B member adds back its own holes' overlap — the
+    h ∩ hb case), or outside every A shell inside a B-hole uncovered by
+    B's other members (pieces h' \\ othersB \\ ⊎sa — shell-only
+    subtraction so the A-loop's h ∩ hb pieces are never
+    double-subtracted). The cases partition, so the carved pieces are
+    disjoint."""
+    ma = _areal_members(*ga)
+    mb = _areal_members(*gb)
+    if ma is None or mb is None:
+        return None
+    parts = _shell_union([s for s, _ in ma], [s for s, _ in mb])
+    if parts is None:
+        return None
+    if not any(h for _, h in ma) and not any(h for _, h in mb):
         return _polys_to_wkt(parts)
-    return None
+    res: list | None = parts
+    for i, (_sa, ha) in enumerate(ma):
+        for h in ha:
+            hp: list | None = [(h, np.asarray([0, len(h)]))]
+            for k2, (sa2, ha2) in enumerate(ma):
+                if k2 == i:
+                    continue
+                hp = _region_subtract_member(hp, sa2, ha2)
+                if hp is None:
+                    return None
+            for sb, hb in mb:
+                hp = _region_subtract_member(hp, sb, hb)
+                if hp is None:
+                    return None
+            res = _region_subtract_pieces(res, hp)
+            if res is None:
+                return None
+    for j, (_sb, hb) in enumerate(mb):
+        for h in hb:
+            hp = [(h, np.asarray([0, len(h)]))]
+            for k2, (sb2, hb2) in enumerate(mb):
+                if k2 == j:
+                    continue
+                hp = _region_subtract_member(hp, sb2, hb2)
+                if hp is None:
+                    return None
+            for sa, _ha in ma:
+                hp = _region_subtract_ring(hp, sa)
+                if hp is None:
+                    return None
+            res = _region_subtract_pieces(res, hp)
+            if res is None:
+                return None
+    return _polys_to_wkt(res)
 
 
 def _null_on_error(fn):

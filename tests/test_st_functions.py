@@ -856,8 +856,8 @@ def test_union_self_overlapping_linework(registered):
 def test_multipolygon_overlay(registered):
     """MULTIPOLYGON operands in st_intersection/st_difference: member
     parts are disjoint, so pairwise single-ring results concatenate
-    exactly; convex chains decompose via half-planes (no hole-bearing
-    intermediate); a concave containment mid-chain is honest null."""
+    exactly; convex chains decompose via half-planes; operand holes
+    subtract through the region algebra."""
     spark = registered
     r = spark.sql("""
         select st_intersection('MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((10 0, 14 0, 14 4, 10 4, 10 0)))',
@@ -895,13 +895,15 @@ def test_multipolygon_overlay(registered):
     assert r["disjoint_b"] == "POLYGON ((2 -5, 8 -5, 8 5, 2 5, 2 -5))"
     # first B member swallows A entirely
     assert r["swallowed"] == "POLYGON EMPTY"
-    assert r["holes"] is None  # members with holes stay unsupported
+    # holed subject: (shell ∩ strip) minus the hole's overlap with the
+    # strip — [2,9]×[1,3] (14) minus [2,3]×[2,3] (1)
+    assert area(r["holes"]) == pytest.approx(13.0)
 
 
 def test_multipolygon_union(registered):
     """st_union with MULTIPOLYGON operands: disjoint members concatenate,
     an interacting member merges pairwise via GH, an interior member is
-    absorbed; a member bridging two parts is honest null."""
+    absorbed; a member bridging two parts merges them transitively."""
     spark = registered
     MP = "'MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((10 0, 14 0, 14 4, 10 4, 10 0)))'"
     r = spark.sql(f"""
@@ -917,4 +919,6 @@ def test_multipolygon_union(registered):
     assert area(r["add_disjoint"]) == pytest.approx(36.0)
     assert area(r["merge_one"]) == pytest.approx(44.0)
     assert area(r["absorb"]) == pytest.approx(32.0)
-    assert r["bridge"] is None  # transitive merge across parts: unsupported
+    # a member bridging both parts merges them transitively:
+    # 16 + 16 + 20 − 4 − 4 (the strip's overlap with each square)
+    assert area(r["bridge"]) == pytest.approx(44.0)
