@@ -719,6 +719,171 @@ def st_bufferPoint(lon: pd.Series, lat: pd.Series, radius_m: pd.Series) -> pd.Se
     return pd.Series(out)
 
 
+def _disc(center, r: float, s: int, idx: int) -> np.ndarray:
+    """2s-gon inscribed in the radius-r circle; the start phase varies
+    per-geometry-part (idx) so co-centered arcs from different parts
+    never share sampled vertices (vertex contact would be degenerate
+    for the GH union fold)."""
+    phase = (0.1 + 0.8 * ((idx * 37) % 89) / 89.0) * (np.pi / s)
+    th = phase + np.arange(2 * s) * (np.pi / s)
+    ring = np.column_stack([center[0] + r * np.cos(th), center[1] + r * np.sin(th)])
+    return np.vstack([ring, ring[:1]])
+
+
+def _capsule(p, q, r: float, s: int, idx: int) -> np.ndarray:
+    """Convex stadium around segment p→q, extended by a per-capsule
+    jittered ε ≈ 0.005r along the axis. Without the extension a corner
+    p + r·n̂ lies EXACTLY on the adjacent perpendicular edge of an
+    axis-aligned ring (vertex-on-edge: degenerate for the GH union
+    fold); with it, contacts become proper crossings. The overshoot
+    error is ≤ ε²/2r ≈ 3e-5·r, far inside the inscribed-arc sag the
+    docstring of _buffer_geom already grants. Interior arc samples get a
+    per-capsule phase jitter for the same reason (adjacent capsules
+    share arc centers; identical samples would touch vertex-to-vertex)."""
+    p = np.asarray(p, dtype=np.float64)
+    q = np.asarray(q, dtype=np.float64)
+    d = q - p
+    length = float(np.hypot(*d))
+    if length == 0.0:
+        return _disc(p, r, s, idx)
+    u = d / length
+    eps = r * 0.004 * (1.0 + ((idx * 53) % 97) / 97.0)
+    p = p - eps * u
+    q = q + eps * u
+    n = np.asarray([-u[1], u[0]])
+    aq = float(np.arctan2(n[1], n[0]))
+    jit = (((idx * 37) % 89) / 89.0) * 0.8 - 0.4  # ∈ (−0.4, 0.4) steps
+    step = np.pi / s
+    pts = [p + r * n, q + r * n]
+    for j in range(1, s):
+        th = aq - (j + jit) * step
+        pts.append(q + r * np.asarray([np.cos(th), np.sin(th)]))
+    pts.append(q - r * n)
+    pts.append(p - r * n)
+    for j in range(1, s):
+        th = (aq - np.pi) - (j + jit) * step
+        pts.append(p + r * np.asarray([np.cos(th), np.sin(th)]))
+    pts.append(p + r * n)
+    return np.asarray(pts, dtype=np.float64)
+
+
+def _buffer_geom(ga, radius: float, segments: int = 8) -> str | None:
+    """Positive PLANAR buffer (degrees — the unit convention of the
+    st_* planar relate/overlay surface; st_bufferPoint remains the
+    geodesic-meters point form): {x : dist(x, geom) ≤ r} built as the
+    union of per-edge stadium capsules, per-point discs, and filled
+    shells, folded through _shell_union; operand holes re-carve as
+    (hole \\ capsules \\ other fills) via the region algebra, so an
+    island inside a hole buffers correctly. Arcs are inscribed
+    (error ≤ r·(1−cos(0.7π/s)) — the phase-jittered first/last chords
+    span up to 1.4 steps; the JTS quadrant-segments convention).
+    Degenerate union contact returns None — honest null, never an
+    approximation."""
+    if not np.isfinite(radius) or radius <= 0:
+        return None
+    kind, coords, offs = ga
+
+    def _dropcollinear(pts: np.ndarray, closed: bool) -> np.ndarray:
+        # collinear consecutive edges give exactly-collinear capsule
+        # sides (degenerate overlap for the union fold); dropping the
+        # middle vertex changes nothing geometrically
+        pts = np.asarray(pts, dtype=np.float64)
+        if len(pts) < 3:
+            return pts
+        body = pts[:-1] if closed else pts
+        keep = []
+        n = len(body)
+        for i in range(n):
+            if not closed and (i == 0 or i == n - 1):
+                keep.append(body[i])
+                continue
+            a, b, c = body[(i - 1) % n], body[i], body[(i + 1) % n]
+            if (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0]) != 0:
+                keep.append(body[i])
+        out = np.asarray(keep, dtype=np.float64)
+        if closed:
+            out = np.vstack([out, out[:1]])
+        return out
+
+    fills: list = []   # (shell_ring_ccw, part_idx)
+    holes: list = []   # (hole_ring_ccw, part_idx)
+    caps: list = []
+    idx = 0
+    for part_i, (k2, c2, o2) in enumerate(geo.geom_parts(kind, coords, offs)):
+        if k2 == "POINT":
+            caps.append(_disc(c2[0], radius, segments, idx))
+            idx += 1
+        elif k2 == "LINESTRING":
+            line = _dropcollinear(c2, closed=False)
+            for i in range(len(line) - 1):
+                caps.append(_capsule(line[i], line[i + 1], radius, segments, idx))
+                idx += 1
+        elif k2 == "POLYGON":
+            clean_rings = [
+                _dropcollinear(c2[o2[ridx]:o2[ridx + 1]], closed=True)
+                for ridx in range(len(o2) - 1)
+            ]
+            if any(len(r) < 4 for r in clean_rings):
+                return None
+            fills.append((geo._ccw_ring(clean_rings[0]), part_i))
+            for ring in clean_rings:
+                for i in range(len(ring) - 1):
+                    caps.append(_capsule(ring[i], ring[i + 1], radius, segments, idx))
+                    idx += 1
+            for ring in clean_rings[1:]:
+                holes.append((geo._ccw_ring(ring), part_i))
+        else:
+            return None
+    all_rings = [f for f, _ in fills] + caps
+    if not all_rings:
+        return None
+    parts = _shell_union([all_rings[0]], all_rings[1:])
+    if parts is None:
+        return None
+    res: list | None = parts
+    for h, owner in holes:
+        hp: list | None = [(h, np.asarray([0, len(h)]))]
+        hx0, hy0 = h[:, 0].min() - 1e-12, h[:, 1].min() - 1e-12
+        hx1, hy1 = h[:, 0].max() + 1e-12, h[:, 1].max() + 1e-12
+        for ring in caps + [f for f, pi in fills if pi != owner]:
+            if (
+                ring[:, 0].max() < hx0 or ring[:, 0].min() > hx1
+                or ring[:, 1].max() < hy0 or ring[:, 1].min() > hy1
+            ):
+                continue  # bbox-disjoint from the hole: nothing to carve
+            hp = _region_subtract_ring(hp, ring, pair_diff=_ring_pair_difference_gh)
+            if hp is None:
+                return None
+        res = _region_subtract_pieces(res, hp)
+        if res is None:
+            return None
+    return _polys_to_wkt(res)
+
+
+@F.pandas_udf(StringType())
+def st_buffer(wkt: pd.Series, radius: pd.Series) -> pd.Series:
+    """Planar buffer for any geometry kind (degrees; positive radius) —
+    see _buffer_geom. The GeoMesa surface only ships the geodesic point
+    form (st_bufferPoint); this is the general PostGIS-style op."""
+    cache = _parse_cache(wkt)
+    r_v = radius.to_numpy(np.float64)
+    out = []
+    memo: dict = {}
+    for w, r in zip(wkt, r_v):
+        g = cache.get(w)
+        key = (w, float(r))
+        if key not in memo:
+            if g is None:
+                memo[key] = None
+            else:
+                try:
+                    memo[key] = _buffer_geom(g, float(r))
+                except Exception:
+                    memo[key] = None
+        out.append(memo[key])
+    return pd.Series(out)
+
+
 @F.pandas_udf(StringType())
 def st_translate(wkt: pd.Series, dx: pd.Series, dy: pd.Series) -> pd.Series:
     """Shift a geometry by (dx, dy) degrees (SQLGeometryProcessingFunctions
@@ -884,8 +1049,9 @@ _AREAL = ("POLYGON", "MULTIPOLYGON")
 
 def _overlay_intersection(ga, gb) -> str | None:
     """A ∩ B WKT. Exact for every pairing involving points or linework
-    (any polygon shape, holes included) and for (MULTI)POLYGON pairs,
-    holes included: members decompose pairwise — Sutherland–Hodgman for
+    (any polygon shape, holes included), for GEOMETRYCOLLECTION operands
+    (disjoint parts intersect independently and concatenate), and for
+    (MULTI)POLYGON pairs, holes included: members decompose pairwise — Sutherland–Hodgman for
     convex×convex member pairs, Greiner–Hormann for concave members in
     generic position — and member holes subtract via the region algebra.
     Degenerate member contact falls back to the DE-9IM fast paths
@@ -895,8 +1061,18 @@ def _overlay_intersection(ga, gb) -> str | None:
     approximation."""
     ka, ca, oa = ga
     kb, cb, ob = gb
-    if ka == "GEOMETRYCOLLECTION" or kb == "GEOMETRYCOLLECTION":
-        return None
+    if ka == "GEOMETRYCOLLECTION":
+        # parts are disjoint, so per-part intersections concatenate
+        members = []
+        for p in geo.geom_parts(ka, ca, oa):
+            w = _overlay_intersection(p, gb)
+            if w is None:
+                return None
+            if not w.endswith(" EMPTY"):
+                members.append(w)
+        return _gc_combine(members)
+    if kb == "GEOMETRYCOLLECTION":
+        return _overlay_intersection(gb, ga)
     if kb in _POINTY and ka not in _POINTY:
         return _overlay_intersection(gb, ga)
     if ka in _POINTY:
@@ -963,6 +1139,16 @@ def _areal_intersection(ga, gb) -> str | None:
     return _polys_to_wkt(out)
 
 
+def _gc_combine(members: list, empty: str = "GEOMETRYCOLLECTION EMPTY") -> str:
+    """Combine disjoint per-part overlay results into one WKT (nested
+    collections are legal WKT and the parser flattens them)."""
+    if not members:
+        return empty
+    if len(members) == 1:
+        return members[0]
+    return "GEOMETRYCOLLECTION (" + ", ".join(members) + ")"
+
+
 def _areal_members(kind, coords, offs) -> list | None:
     """(MULTI)POLYGON members as (shell_ring, [hole_ring, ...]) with all
     rings closed and CCW-normalized; None for non-polygonal parts."""
@@ -1006,9 +1192,13 @@ def _piece_holes(c2, o2) -> list[np.ndarray]:
 # cannot trace (the caller falls back to the DE-9IM fast paths).
 
 
-def _region_subtract_ring(pieces, r) -> list | None:
+def _region_subtract_ring(pieces, r, pair_diff=None) -> list | None:
     """Subtract the area enclosed by closed ring ``r`` from a disjoint
-    piece list."""
+    piece list. ``pair_diff`` overrides the single-ring difference
+    kernel (the buffer carve passes a GH-first variant that keeps
+    connected remainders as ONE piece — half-plane fragments share
+    edges, degenerate for later subtraction consumers)."""
+    diff = pair_diff or _ring_pair_difference
     rr = geo._ccw_ring(np.asarray(r, dtype=np.float64))
     out: list = []
     for c2, o2 in pieces:
@@ -1082,11 +1272,11 @@ def _region_subtract_ring(pieces, r) -> list | None:
         # r crosses the shell ring: (shell \ holes) \ r == (shell \ r) \
         # holes. The crossing guarantees hole-free (shell \ r) pieces, so
         # the recursion strictly reduces the hole count and terminates.
-        d = _ring_pair_difference(shell, rr)
+        d = diff(shell, rr)
         if d is None:
             return None
         for h in _piece_holes(c2, o2):
-            d = _region_subtract_ring(d, h)
+            d = _region_subtract_ring(d, h, pair_diff=pair_diff)
             if d is None:
                 return None
         out.extend(d)
@@ -1203,6 +1393,14 @@ def _areal_relate_fallback(ga, gb, op: str) -> str | None:
     kb, cb, ob = gb
     if ka not in _AREAL or kb not in _AREAL:
         return None
+    # cheap reject: bbox-disjoint operands can't touch (the fallback
+    # fires for every empty intersection, which is usually just two
+    # far-apart polygons — skip the O(n·m) relate for those)
+    if (
+        ca[:, 0].max() < cb[:, 0].min() or cb[:, 0].max() < ca[:, 0].min()
+        or ca[:, 1].max() < cb[:, 1].min() or cb[:, 1].max() < ca[:, 1].min()
+    ):
+        return None
     try:
         r = geo.relate_geoms(ka, ca, oa, kb, cb, ob)
     except Exception:
@@ -1266,6 +1464,19 @@ def _ring_pair_difference(a2, b2) -> list | None:
     return geo.polygon_overlay_general(a2, b2, "difference")
 
 
+def _ring_pair_difference_gh(a2, b2) -> list | None:
+    r"""GH-first single-ring difference: a connected remainder stays ONE
+    concave piece instead of half-plane fragments. The buffer's hole
+    carve subtracts many overlapping capsules sequentially — fragments
+    would share edges, which is degenerate contact for every LATER
+    consumer of the piece list. Falls back to the half-plane chain when
+    GH rejects the contact as degenerate."""
+    r = geo.polygon_overlay_general(a2, b2, "difference")
+    if r is not None:
+        return r
+    return _ring_pair_difference(a2, b2)
+
+
 def _polys_to_wkt(parts) -> str | None:
     """GH overlay result [(coords, ring_offsets), ...] → WKT (None stays
     None: degenerate-contact inputs are unsupported, not approximated)."""
@@ -1288,8 +1499,10 @@ def _polys_to_wkt(parts) -> str | None:
 
 
 def _overlay_difference(ga, gb) -> str | None:
-    """A \\ B WKT. Subtracting a lower-dimension geometry is identity;
-    point and line subjects are exact for any B. Areal subjects,
+    """A \\ B WKT. GEOMETRYCOLLECTION subjects subtract per-part;
+    a GEOMETRYCOLLECTION B subtracts its parts sequentially. Subtracting
+    a lower-dimension geometry is identity; point and line subjects are
+    exact for any B. Areal subjects,
     holes included: B's members subtract sequentially from each A
     member's pieces via the region algebra (half-plane decomposition
     for convex pairs — exact incl. shared edges — Greiner–Hormann for
@@ -1301,8 +1514,27 @@ def _overlay_difference(ga, gb) -> str | None:
     ka, ca, oa = ga
     kb, cb, ob = gb
     dim = {"POINT": 0, "MULTIPOINT": 0, "LINESTRING": 1, "MULTILINESTRING": 1, "POLYGON": 2, "MULTIPOLYGON": 2}
-    if ka == "GEOMETRYCOLLECTION" or kb == "GEOMETRYCOLLECTION":
-        return None
+    if ka == "GEOMETRYCOLLECTION":
+        # parts are disjoint: per-part differences concatenate
+        members = []
+        for p in geo.geom_parts(ka, ca, oa):
+            w = _overlay_difference(p, gb)
+            if w is None:
+                return None
+            if not w.endswith(" EMPTY"):
+                members.append(w)
+        return _gc_combine(members)
+    if kb == "GEOMETRYCOLLECTION":
+        # subtract B's parts sequentially (disjoint, so order-free)
+        cur = ga
+        for p in geo.geom_parts(kb, cb, ob):
+            w = _overlay_difference(cur, p)
+            if w is None:
+                return None
+            if w.endswith(" EMPTY"):
+                return w
+            cur = geo.parse_wkt(w)
+        return geo.wkt_any(*cur)
     if dim[kb] < dim[ka]:
         return geo.wkt_any(ka, ca, oa)  # measure-zero subtraction
     if ka in _POINTY:
@@ -1388,7 +1620,9 @@ def _overlay_union(ga, gb) -> str | None:
     falls back to the DE-9IM fast paths (equal/covered operands answer
     set-theoretically; edge-adjacent operands merge by boundary
     rechaining; point-touching operands concatenate). Mixed-dimension
-    unions and what neither path supports return None."""
+    unions return GEOMETRYCOLLECTION(higher, lower \\ higher) — JTS
+    semantics. GEOMETRYCOLLECTION operands and what neither path
+    supports return None."""
     ka, ca, oa = ga
     kb, cb, ob = gb
     if ka in _POINTY and kb in _POINTY:
@@ -1410,6 +1644,19 @@ def _overlay_union(ga, gb) -> str | None:
         if res is None:
             res = _areal_relate_fallback(ga, gb, "union")
         return res
+    # mixed dimensions (JTS semantics): the lower-dim operand survives
+    # only outside the higher-dim one — GEOMETRYCOLLECTION(high, low \ high)
+    dim = {"POINT": 0, "MULTIPOINT": 0, "LINESTRING": 1, "MULTILINESTRING": 1,
+           "POLYGON": 2, "MULTIPOLYGON": 2}
+    if ka in dim and kb in dim and dim[ka] != dim[kb]:
+        lo, hi = (ga, gb) if dim[ka] < dim[kb] else (gb, ga)
+        rest = _overlay_difference(lo, hi)
+        if rest is None:
+            return None
+        hi_wkt = geo.wkt_any(*hi)
+        if rest.endswith(" EMPTY"):
+            return hi_wkt
+        return f"GEOMETRYCOLLECTION ({hi_wkt}, {rest})"
     return None
 
 
@@ -1929,6 +2176,7 @@ ALL_FUNCTIONS = {
     "st_distanceSpheroid": st_distanceSpheroid,
     "st_closestPoint": st_closestPoint,
     "st_translate": st_translate,
+    "st_buffer": st_buffer,
     "st_bufferPoint": st_bufferPoint,
     "st_convexHull": st_convexHull,
     "st_idlSafeGeom": st_idlSafeGeom,

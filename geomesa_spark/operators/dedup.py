@@ -223,8 +223,14 @@ def dedupe_and_append(
             # decide from cheap counts WITHOUT forcing the band build:
             # each new doc yields n_bands band rows, so the batch's
             # band-row count is n_bands × |docs| (docs shorter than one
-            # gram are the only, negligible, overestimate)
-            prune = stored_bands.count() > 4 * n_bands * ndocs
+            # gram are the only, negligible, overestimate). The absolute
+            # floor is measured, not guessed: bench_dedup_curve.py at
+            # sf0.1 (stored 480k band rows, 8× the batch) shows the
+            # prune's broadcast barriers costing 23.5 s vs 14.5 s for
+            # the full shuffle — below ~2M stored rows the whole index
+            # shuffles faster than the prune passes amortize.
+            stored_n = stored_bands.count()
+            prune = stored_n > max(4 * n_bands * ndocs, int(C.DEDUP_PRUNE_MIN_STORED))
         if prune:
             # Only buckets TOUCHED by the new batch can produce
             # candidates (both sides of a pair share the bucket key and

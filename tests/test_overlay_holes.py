@@ -306,3 +306,43 @@ def test_chain_closed_rings_contract():
         )
         is None
     )
+
+
+def test_collection_and_mixed_dim_overlays():
+    """Round-4: GEOMETRYCOLLECTION operands decompose per-part for
+    intersection/difference; mixed-dimension unions return
+    GEOMETRYCOLLECTION(higher, lower \\ higher), JTS semantics."""
+    g = geo.parse_wkt
+    GC = g(
+        "GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 5, 10 5),"
+        " POLYGON ((20 0, 24 0, 24 4, 20 4, 20 0)))"
+    )
+    B = g("POLYGON ((0 0, 22 0, 22 6, 0 6, 0 0))")
+    w = stf._overlay_intersection(GC, B)
+    k, c, o = geo.parse_wkt(w)
+    parts = geo.geom_parts(k, c, o)
+    kinds = sorted(p[0] for p in parts)
+    assert kinds == ["LINESTRING", "POINT", "POLYGON"]
+    assert stf._overlay_intersection(B, GC) == w  # commutes
+    assert _result_area(stf._overlay_difference(GC, B)) == pytest.approx(8.0)
+    # B minus a collection of two disjoint squares: both punch holes
+    holes2 = g(
+        "GEOMETRYCOLLECTION (POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1)),"
+        " POLYGON ((5 1, 7 1, 7 3, 5 3, 5 1)))"
+    )
+    w2 = stf._overlay_difference(B, holes2)
+    k2, _c2, o2 = geo.parse_wkt(w2)
+    assert k2 == "POLYGON" and len(o2) == 4  # shell + 2 holes
+    assert stf._areal_area(_c2, o2) == pytest.approx(22 * 6 - 8.0)
+    # mixed-dim union: line pierces the polygon, outside parts survive
+    w3 = stf._overlay_union(g("LINESTRING (0 3, 12 3)"), g("POLYGON ((2 0, 6 0, 6 6, 2 6, 2 0))"))
+    k3, c3, o3 = geo.parse_wkt(w3)
+    parts3 = geo.geom_parts(k3, c3, o3)
+    lens = sum(
+        np.hypot(*(cc[1] - cc[0])) for kk, cc, _oo in parts3 if kk == "LINESTRING"
+    )
+    assert lens == pytest.approx(2.0 + 6.0)
+    # a point inside the polygon is absorbed entirely
+    assert stf._overlay_union(g("POINT (1 1)"), g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")) == (
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    )

@@ -115,6 +115,25 @@ def test_processing_and_output(registered):
     assert row["idl"].startswith("MULTIPOLYGON")
 
 
+def test_buffer_sql_registration(registered):
+    """st_buffer (general planar form, round 4): SQL-registered, planar
+    degrees, honest null on non-positive radius."""
+    spark = registered
+    r = spark.sql("""
+        select st_buffer('LINESTRING (0 0, 4 0)', 0.5d) line_buf,
+               st_area(st_buffer('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', 0.5d)) sq_area,
+               st_buffer('POINT (1 1)', -1.0d) neg,
+               st_contains(st_buffer('POINT (1 1)', 0.5d), 'POINT (1 1)') ctr
+    """).collect()[0]
+    k, c, o = geo.parse_wkt(r["line_buf"])
+    assert k == "POLYGON"
+    # area ≈ 2rL + πr² within the inscribed-arc convention
+    assert 0.5 * 2 * 4 < r["sq_area"] <= 16 + 4 * 0.5 * 4 + np.pi * 0.25 + 1e-9
+    assert r["sq_area"] > 16 + 8 * 0.9
+    assert r["neg"] is None
+    assert r["ctr"] is True
+
+
 def test_cell_functions(registered):
     spark = registered
     row = spark.range(1).select(
@@ -700,7 +719,8 @@ def test_overlay_intersection_difference(registered):
     uk, uc, uo = geo.parse_wkt(r["u2"])
     assert uk == "POLYGON" and abs(abs(geo.polygon_area_deg2(uc, uo)) - 28.0) < 1e-9
     assert r["u3"] == "MULTIPOINT ((1 1), (2 2))"
-    assert r["u4"] is None  # mixed-dimension union: honest unsupported
+    # mixed-dimension union (r4): the point is absorbed by the polygon
+    assert r["u4"] == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
     # difference piece areas tile the annulus exactly
     got = geo.parse_wkt(r["d2"])
     area = sum(
@@ -835,7 +855,8 @@ def test_overlay_review_regressions(registered):
     assert len(parts) == 2
     area = sum(abs(geo.polygon_area_deg2(c, o)) for _k, c, o in parts)
     assert area == pytest.approx(24.0)  # two disjoint 3x4 bars
-    assert r["gc"] is None
+    # GEOMETRYCOLLECTION operands decompose per-part (r4)
+    assert r["gc"] == "POINT (1 1)"
     assert r["nested"] == "GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POINT (0 0)))"
     assert r["hh"] is False  # hole nested inside another hole
     assert r["pm"] is None
