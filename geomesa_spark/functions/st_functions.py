@@ -1621,8 +1621,8 @@ def _overlay_union(ga, gb) -> str | None:
     set-theoretically; edge-adjacent operands merge by boundary
     rechaining; point-touching operands concatenate). Mixed-dimension
     unions return GEOMETRYCOLLECTION(higher, lower \\ higher) — JTS
-    semantics. GEOMETRYCOLLECTION operands and what neither path
-    supports return None."""
+    semantics — and GEOMETRYCOLLECTION operands re-union canonically by
+    dimension (_gc_union). What neither path supports returns None."""
     ka, ca, oa = ga
     kb, cb, ob = gb
     if ka in _POINTY and kb in _POINTY:
@@ -1657,7 +1657,65 @@ def _overlay_union(ga, gb) -> str | None:
         if rest.endswith(" EMPTY"):
             return hi_wkt
         return f"GEOMETRYCOLLECTION ({hi_wkt}, {rest})"
+    if ka == "GEOMETRYCOLLECTION" or kb == "GEOMETRYCOLLECTION":
+        return _gc_union(ga, gb)
     return None
+
+
+def _gc_union(ga, gb) -> str | None:
+    """Union with GEOMETRYCOLLECTION operand(s): canonical re-union of
+    ALL parts from both sides, by dimension — areal parts fold through
+    the areal union, linework folds through the linear union, then each
+    lower dimension keeps only what lies outside every higher dimension
+    (the same JTS rule as the mixed-dimension pair)."""
+    parts = geo.geom_parts(*ga) + geo.geom_parts(*gb)
+    by_kind = {"POLYGON": [], "LINESTRING": [], "POINT": []}
+    for p in parts:
+        if p[0] not in by_kind:
+            return None
+        by_kind[p[0]].append(p)
+
+    def fold_union(items):
+        cur = items[0]
+        for p in items[1:]:
+            w = _overlay_union(cur, p)
+            if w is None:
+                return None
+            cur = geo.parse_wkt(w)
+        return cur
+
+    members: list = []
+    areal = fold_union(by_kind["POLYGON"]) if by_kind["POLYGON"] else None
+    if by_kind["POLYGON"] and areal is None:
+        return None
+    liney = fold_union(by_kind["LINESTRING"]) if by_kind["LINESTRING"] else None
+    if by_kind["LINESTRING"] and liney is None:
+        return None
+    if areal is not None:
+        members.append(geo.wkt_any(*areal))
+        if liney is not None:
+            w = _overlay_difference(liney, areal)
+            if w is None:
+                return None
+            liney = None if w.endswith(" EMPTY") else geo.parse_wkt(w)
+    if liney is not None:
+        members.append(geo.wkt_any(*liney))
+    if by_kind["POINT"]:
+        pts = [
+            (float(c2[0, 0]), float(c2[0, 1])) for _k, c2, _o in by_kind["POINT"]
+        ]
+        keep = []
+        for x, y in dict.fromkeys(pts):
+            covered = False
+            for higher in (areal, liney):
+                if higher is not None and geo._covered_by_geom(x, y, *higher):
+                    covered = True
+                    break
+            if not covered:
+                keep.append((x, y))
+        if keep:
+            members.append(_pieces_to_wkt(keep, [], "GEOMETRYCOLLECTION EMPTY"))
+    return _gc_combine(members)
 
 
 def _shell_union(ra: list, rb: list) -> list | None:

