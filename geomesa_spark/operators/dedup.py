@@ -702,14 +702,25 @@ def exact_substring_pairs(
             _esub_best_spans(m, k, stride)
             .where(F.col("ms") >= dup_span - 2 * (stride - 1))
             .select("da", "db")
+        ).localCheckpoint(eager=True)  # consumed three times below
+        # prune the dense anchor table to candidate PARTICIPANTS before
+        # the verify join — without this the b side reshuffles the WHOLE
+        # corpus anchor table per verify (the same mistake the dedup
+        # index prune exists to avoid); candidates are assumed
+        # broadcast-small, the premise of the broadcast(cand) hint too
+        cand_ids = (
+            cand.select(F.col("da").alias("doc_id"))
+            .union(cand.select(F.col("db").alias("doc_id")))
+            .distinct()
         )
+        pgc = pg.join(F.broadcast(cand_ids), "doc_id", "left_semi")
         pa = (
-            pg.join(F.broadcast(cand), pg.doc_id == cand.da)
+            pgc.join(F.broadcast(cand), pgc.doc_id == cand.da)
             .select("da", "db", F.col("i").alias("ia"), "g")
             .alias("p")
         )
         m_exact = pa.join(
-            pg.alias("b"), (F.col("b.g") == F.col("p.g")) & (F.col("b.doc_id") == F.col("p.db"))
+            pgc.alias("b"), (F.col("b.g") == F.col("p.g")) & (F.col("b.doc_id") == F.col("p.db"))
         ).select("da", "db", "ia", F.col("b.i").alias("ib"))
         best = _esub_best_spans(m_exact, k, 1).where(F.col("ms") >= dup_span)
     return best.select(
