@@ -768,9 +768,12 @@ def _capsule(p, q, r: float, s: int, idx: int) -> np.ndarray:
 
 
 def _buffer_geom(ga, radius: float, segments: int = 8) -> str | None:
-    """Positive PLANAR buffer (degrees — the unit convention of the
-    st_* planar relate/overlay surface; st_bufferPoint remains the
-    geodesic-meters point form): {x : dist(x, geom) ≤ r} built as the
+    """PLANAR buffer (degrees — the unit convention of the st_* planar
+    relate/overlay surface; st_bufferPoint remains the geodesic-meters
+    point form). Negative radius erodes areal subjects (piece minus the
+    ∪edge-capsules boundary band — exact by the same capsule identity;
+    empty for lower-dim subjects, JTS semantics). Positive radius
+    dilates: {x : dist(x, geom) ≤ r} built as the
     union of per-edge stadium capsules, per-point discs, and filled
     shells, folded through _shell_union; operand holes re-carve as
     (hole \\ capsules \\ other fills) via the region algebra, so an
@@ -779,7 +782,7 @@ def _buffer_geom(ga, radius: float, segments: int = 8) -> str | None:
     span up to 1.4 steps; the JTS quadrant-segments convention).
     Degenerate union contact returns None — honest null, never an
     approximation."""
-    if not np.isfinite(radius) or radius <= 0:
+    if not np.isfinite(radius) or radius == 0:
         return None
     kind, coords, offs = ga
 
@@ -804,6 +807,54 @@ def _buffer_geom(ga, radius: float, segments: int = 8) -> str | None:
         if closed:
             out = np.vstack([out, out[:1]])
         return out
+    if radius < 0:
+        # erosion, areal subjects only (negative buffer of lines/points
+        # is empty — JTS returns POLYGON EMPTY): {x : dist(x, boundary)
+        # ≥ |r|, x inside} == piece \ ∪edge-capsules, because the capsule
+        # union IS the ≤|r| boundary band. Members erode independently
+        # (erosion only removes area, so a disjoint member can't
+        # contribute). Inscribed arcs under-cover the band, so the
+        # eroded result overshoots by the same sag bound the dilation
+        # grants, at reflex corners only.
+        if kind not in _AREAL:
+            return "POLYGON EMPTY" if kind in _POINTY + _LINEY else None
+        r_abs = -radius
+        out: list = []
+        idx_n = 0
+        for k2, c2, o2 in geo.geom_parts(kind, coords, offs):
+            if k2 != "POLYGON":
+                return None
+            rings2 = [
+                _dropcollinear(c2[o2[ridx]:o2[ridx + 1]], closed=True)
+                for ridx in range(len(o2) - 1)
+            ]
+            if any(len(r) < 4 for r in rings2):
+                return None
+            cur: list | None = [_member_piece(rings2[0], rings2[1:])]
+            for ring in rings2:
+                for i in range(len(ring) - 1):
+                    cap = _capsule(ring[i], ring[i + 1], r_abs, segments, idx_n)
+                    idx_n += 1
+                    bx0, by0 = cap[:, 0].min(), cap[:, 1].min()
+                    bx1, by1 = cap[:, 0].max(), cap[:, 1].max()
+                    hit: list = []
+                    miss: list = []
+                    for p in cur:
+                        pc = p[0]
+                        if (
+                            pc[:, 0].max() < bx0 or pc[:, 0].min() > bx1
+                            or pc[:, 1].max() < by0 or pc[:, 1].min() > by1
+                        ):
+                            miss.append(p)
+                        else:
+                            hit.append(p)
+                    sub = _region_subtract_ring(hit, cap, pair_diff=_ring_pair_difference_gh)
+                    if sub is None:
+                        return None
+                    cur = sub + miss
+            out.extend(cur)
+        return _polys_to_wkt(out) if out else "POLYGON EMPTY"
+
 
     fills: list = []   # (shell_ring_ccw, part_idx)
     holes: list = []   # (hole_ring_ccw, part_idx)
@@ -862,8 +913,8 @@ def _buffer_geom(ga, radius: float, segments: int = 8) -> str | None:
 
 @F.pandas_udf(StringType())
 def st_buffer(wkt: pd.Series, radius: pd.Series) -> pd.Series:
-    """Planar buffer for any geometry kind (degrees; positive radius) —
-    see _buffer_geom. The GeoMesa surface only ships the geodesic point
+    """Planar buffer for any geometry kind (degrees; negative radius
+    erodes areal subjects) — see _buffer_geom. The GeoMesa surface only ships the geodesic point
     form (st_bufferPoint); this is the general PostGIS-style op."""
     cache = _parse_cache(wkt)
     r_v = radius.to_numpy(np.float64)

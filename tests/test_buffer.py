@@ -36,6 +36,13 @@ def _dist_to_geom(probes, kind, coords, offs):
     return d
 
 
+def _member(probes, kind, coords, offs):
+    got = np.zeros(len(probes), dtype=bool)
+    for _k, c, o in geo.geom_parts(kind, coords, offs):
+        got |= geo.classify_points_in_polygon(probes[:, 0], probes[:, 1], c, o) == 2
+    return got
+
+
 def _check_buffer(wkt_in, r, rng, span, n=4000):
     g = geo.parse_wkt(wkt_in)
     w = stf._buffer_geom(g, r)
@@ -142,8 +149,48 @@ def test_buffer_island_in_hole():
 def test_buffer_invalid_inputs():
     g = geo.parse_wkt("POINT (0 0)")
     assert stf._buffer_geom(g, 0.0) is None
-    assert stf._buffer_geom(g, -1.0) is None
     assert stf._buffer_geom(g, float("nan")) is None
+    # negative radius: lower-dim subjects erode to nothing (JTS)
+    assert stf._buffer_geom(g, -1.0) == "POLYGON EMPTY"
+    assert stf._buffer_geom(geo.parse_wkt("LINESTRING (0 0, 4 0)"), -1.0) == "POLYGON EMPTY"
+
+
+def test_buffer_negative_erosion():
+    """Erosion: got == (inside AND dist-to-boundary ≥ |r|) outside the
+    sag band; a member thinner than 2|r| vanishes; holes grow."""
+    rng = np.random.default_rng(12)
+    for wkt_in, r in (
+        ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", -0.5),
+        ("POLYGON ((0 0, 10 0, 10 2, 2 2, 2 8, 10 8, 10 10, 0 10, 0 0))", -0.6),
+        ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))", -0.5),
+    ):
+        g = geo.parse_wkt(wkt_in)
+        w = stf._buffer_geom(g, r)
+        assert w is not None, wkt_in
+        k, c, o = geo.parse_wkt(w)
+        probes = rng.uniform(-1, 11, size=(4000, 2))
+        dist = _dist_to_geom(probes, *g)          # 0 inside
+        bdist = np.full(len(probes), np.inf)      # distance to boundary
+        kk, cc, oo = g
+        for _k2, c2, o2 in geo.geom_parts(kk, cc, oo):
+            d2, _cx, _cy = geo._point_to_segments(
+                probes[:, 0], probes[:, 1], *geo.polygon_edges(c2, o2)
+            )
+            bdist = np.minimum(bdist, np.sqrt(d2.min(axis=1)))
+        inside = dist == 0.0
+        want = inside & (bdist >= -r)
+        got = _member(probes, k, c, o) if not w.endswith(" EMPTY") else np.zeros(len(probes), bool)
+        band = np.abs(bdist + r) <= (-r) * (SAG + 1e-3)
+        assert (got[~band] == want[~band]).all(), wkt_in
+    # a 4x4 square erodes by 0.5 to a 3x3 square (sharp corners: exact)
+    w = stf._buffer_geom(geo.parse_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"), -0.5)
+    k, c, o = geo.parse_wkt(w)
+    area = stf._areal_area(c, o)
+    assert 9.0 <= area <= 9.0 * (1 + 4 * SAG)
+    # thin sliver vanishes entirely
+    assert stf._buffer_geom(
+        geo.parse_wkt("POLYGON ((0 0, 10 0, 10 0.6, 0 0.6, 0 0))"), -0.5
+    ) == "POLYGON EMPTY"
 
 
 def test_buffer_contains_original():

@@ -117,7 +117,7 @@ def test_processing_and_output(registered):
 
 def test_buffer_sql_registration(registered):
     """st_buffer (general planar form, round 4): SQL-registered, planar
-    degrees, honest null on non-positive radius."""
+    degrees; a negative radius erodes (empty for lower dimensions)."""
     spark = registered
     r = spark.sql("""
         select st_buffer('LINESTRING (0 0, 4 0)', 0.5d) line_buf,
@@ -130,7 +130,7 @@ def test_buffer_sql_registration(registered):
     # area ≈ 2rL + πr² within the inscribed-arc convention
     assert 0.5 * 2 * 4 < r["sq_area"] <= 16 + 4 * 0.5 * 4 + np.pi * 0.25 + 1e-9
     assert r["sq_area"] > 16 + 8 * 0.9
-    assert r["neg"] is None
+    assert r["neg"] == "POLYGON EMPTY"  # negative radius erodes a point away
     assert r["ctr"] is True
 
 
