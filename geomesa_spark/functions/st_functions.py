@@ -1265,7 +1265,12 @@ def _region_subtract_ring(pieces, r, pair_diff=None) -> list | None:
             r_off = np.asarray([0, len(rr)])
             keep = [c2[o2[0]:o2[1]]]
             for h in _piece_holes(c2, o2):
-                if geo.classify_points_in_polygon(h[:1, 0], h[:1, 1], rr, r_off)[0] != 2:
+                # keep a hole only if ANY strict sample lies outside r
+                # (touch-contact punches make single-vertex tests
+                # ambiguous: a swallowed hole may touch r's ring)
+                hx = np.concatenate([h[:-1, 0], (h[:-1, 0] + h[1:, 0]) / 2.0])
+                hy = np.concatenate([h[:-1, 1], (h[:-1, 1] + h[1:, 1]) / 2.0])
+                if (geo.classify_points_in_polygon(hx, hy, rr, r_off) == 0).any():
                     keep.append(h[::-1])  # back to stored CW
             keep.append(rr[::-1])
             cc = np.concatenate(keep)
@@ -1636,24 +1641,41 @@ def _areal_difference(ga, gb) -> str | None:
 
 def _piece_contact(c2, o2, b2) -> str:
     """Exact classification of ring ``b2`` against piece (c2, o2):
-    'disjoint' (no boundary contact, b2 outside the piece), 'interior'
-    (no boundary contact, b2 strictly inside the piece's interior), or
-    'interacting' (anything else — boundaries touch or cross, or the
-    piece sits inside b2)."""
+    'disjoint' (b2's region outside the piece), 'interior' (b2's region
+    inside the piece's closure), or 'interacting' (anything else —
+    boundaries cross or overlap, or the piece sits inside b2).
+
+    Vertex-only contact (boundaries meet at isolated points, no proper
+    crossing, no collinear overlap) still resolves to interior/disjoint
+    when every strict sample (b2's vertices AND edge midpoints) lands on
+    one side: punching a hole that touches the shell at points is
+    parity-exact, and the crossing-based kernels would reject the
+    contact as degenerate for no measurable reason."""
     b = np.asarray(b2, dtype=np.float64)
     proper, touch, overlap = geo.segment_contact_matrices(
         geo.line_edges(b), geo.polygon_edges(np.asarray(c2, dtype=np.float64), np.asarray(o2))
     )
-    if proper.any() or touch.any() or overlap.any():
+    if proper.any() or overlap.any():
         return "interacting"
-    cls = geo.classify_points_in_polygon(b[:-1, 0], b[:-1, 1], c2, o2)
-    if (cls == 2).all():
+    sx = b[:-1, 0]
+    sy = b[:-1, 1]
+    if touch.any():
+        mx = (b[:-1, 0] + b[1:, 0]) / 2.0
+        my = (b[:-1, 1] + b[1:, 1]) / 2.0
+        sx = np.concatenate([sx, mx])
+        sy = np.concatenate([sy, my])
+    cls = geo.classify_points_in_polygon(sx, sy, c2, o2)
+    c = np.asarray(c2, dtype=np.float64)
+    b_off = np.asarray([0, len(b)])
+    if (cls != 0).all():
+        # all samples inside-or-boundary: b2 ⊆ closure(piece) — unless
+        # the piece ALSO sits inside b2 (mutual: genuinely interacting)
+        if geo.classify_points_in_polygon(c[:1, 0], c[:1, 1], b, b_off)[0] == 2:
+            return "interacting"
         return "interior"
-    if (cls == 0).all():
-        # b2 fully outside the piece — unless the PIECE is inside b2
-        # (b2 swallows the piece: a real subtraction, not disjoint)
-        c = np.asarray(c2, dtype=np.float64)
-        b_off = np.asarray([0, len(b)])
+    if (cls != 2).all():
+        # all samples outside-or-boundary — unless the PIECE is inside
+        # b2 (b2 swallows the piece: a real subtraction, not disjoint)
         if geo.classify_points_in_polygon(c[:1, 0], c[:1, 1], b, b_off)[0] == 2:
             return "interacting"
         return "disjoint"
@@ -1872,6 +1894,118 @@ def _null_on_error(fn):
             return None
 
     return safe
+
+
+def _overlay_symdifference(ga, gb) -> str | None:
+    """A Δ B, preferring (A ∪ B) \\ (A ∩ B) — it yields the structurally
+    cleanest result (no internal member fragmentation; a lower-dim
+    intersection subtracts as identity). Falls back to
+    (A \\ B) ∪ (B \\ A), whose differences have disjoint interiors so
+    the union only exercises the disjoint/touching paths. Exact wherever
+    the underlying overlays are; None otherwise."""
+    u = _overlay_union(ga, gb)
+    i = _overlay_intersection(ga, gb)
+    if u is not None and i is not None:
+        if i.endswith(" EMPTY"):
+            return u
+        d = _overlay_difference(geo.parse_wkt(u), geo.parse_wkt(i))
+        if d is not None:
+            return d
+    d1 = _overlay_difference(ga, gb)
+    if d1 is None:
+        return None
+    d2 = _overlay_difference(gb, ga)
+    if d2 is None:
+        return None
+    e1 = d1.endswith(" EMPTY")
+    e2 = d2.endswith(" EMPTY")
+    if e1 and e2:
+        return d1
+    if e1:
+        return d2
+    if e2:
+        return d1
+    return _overlay_union(geo.parse_wkt(d1), geo.parse_wkt(d2))
+
+
+@F.pandas_udf(StringType())
+def st_symDifference(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
+    """Symmetric difference — exact wherever st_difference and the
+    touching-union rechain are (null, never an approximation, outside
+    them)."""
+    return pd.Series(_per_unique_pair(a_wkt, b_wkt, _null_on_error(_overlay_symdifference)))
+
+
+def _simplify_ring(pts: np.ndarray, tol: float, closed: bool) -> np.ndarray:
+    """Douglas–Peucker with a stack (no recursion-depth limit)."""
+    pts = np.asarray(pts, dtype=np.float64)
+    n = len(pts)
+    if n < 3:
+        return pts
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo < 2:
+            continue
+        seg = pts[lo:hi + 1]
+        d2, _cx, _cy = geo._point_to_segments(
+            seg[1:-1, 0], seg[1:-1, 1],
+            pts[lo:lo + 1, 0], pts[lo:lo + 1, 1], pts[hi:hi + 1, 0], pts[hi:hi + 1, 1],
+        )
+        far = int(np.argmax(d2[:, 0]))
+        if d2[far, 0] > tol * tol:
+            mid = lo + 1 + far
+            keep[mid] = True
+            stack.append((lo, mid))
+            stack.append((mid, hi))
+    out = pts[keep]
+    if closed and len(out) < 4:
+        return pts  # refuse to collapse a ring below a triangle
+    return out
+
+
+def _simplify_geom(ga, tol: float) -> str | None:
+    """JTS ST_Simplify semantics: per-ring Douglas–Peucker, no topology
+    guarantee (a ring that would collapse below a triangle is kept
+    as-is)."""
+    kind, coords, offs = ga
+    if not np.isfinite(tol) or tol < 0:
+        return None
+    if kind == "GEOMETRYCOLLECTION":
+        members = [_simplify_geom(p, tol) for p in geo.geom_parts(kind, coords, offs)]
+        if any(m is None for m in members):
+            return None
+        return _gc_combine(members)
+    if kind in _POINTY:
+        return geo.wkt_any(kind, coords, offs)
+    new_rings: list = []
+    for i in range(len(offs) - 1):
+        ring = coords[offs[i]:offs[i + 1]]
+        closed = kind in _AREAL
+        new_rings.append(_simplify_ring(ring, tol, closed))
+    cc = np.concatenate(new_rings)
+    oo = np.concatenate([[0], np.cumsum([len(r) for r in new_rings])])
+    return geo.wkt_any(kind, cc, oo)
+
+
+@F.pandas_udf(StringType())
+def st_simplify(wkt: pd.Series, tolerance: pd.Series) -> pd.Series:
+    """Douglas–Peucker simplification (planar degrees; JTS ST_Simplify
+    semantics — per ring, no topology preservation, rings never collapse
+    below a triangle)."""
+    cache = _parse_cache(wkt)
+    t_v = tolerance.to_numpy(np.float64)
+    out = []
+    memo: dict = {}
+    for w, t in zip(wkt, t_v):
+        g = cache.get(w)
+        key = (w, float(t))
+        if key not in memo:
+            memo[key] = None if g is None else _simplify_geom(g, float(t))
+        out.append(memo[key])
+    return pd.Series(out)
 
 
 @F.pandas_udf(StringType())
@@ -2286,6 +2420,8 @@ ALL_FUNCTIONS = {
     "st_closestPoint": st_closestPoint,
     "st_translate": st_translate,
     "st_buffer": st_buffer,
+    "st_simplify": st_simplify,
+    "st_symDifference": st_symDifference,
     "st_bufferPoint": st_bufferPoint,
     "st_convexHull": st_convexHull,
     "st_idlSafeGeom": st_idlSafeGeom,

@@ -51,6 +51,8 @@ def _geom_area(g):
 def _result_area(wkt):
     if wkt is None:
         return None
+    if wkt.endswith(" EMPTY"):
+        return 0.0
     k, c, o = geo.parse_wkt(wkt)
     if k in ("POLYGON", "MULTIPOLYGON"):
         return stf._areal_area(c, o)
@@ -394,3 +396,44 @@ def test_buffer_geometrycollection():
     got = _member(probes, k, c, o)
     band = np.abs(dist - 0.5) <= 0.5 * (SAG + 1e-3)
     assert (got[~band] == (dist <= 0.5)[~band]).all()
+
+
+def test_symdifference():
+    """st_symDifference: (A∪B)\\(A∩B) preferred form — area identity
+    area(AΔB) == area(A)+area(B)−2·area(A∩B) on random star pairs, and
+    canonical goldens for equal/touching/line operands."""
+    g = geo.parse_wkt
+    A = g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    B = g("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+    w = stf._overlay_symdifference(A, B)
+    k, c, o = geo.parse_wkt(w)
+    assert k == "POLYGON" and len(o) == 3  # one ring + the A∩B hole
+    assert stf._areal_area(c, o) == pytest.approx(24.0)
+    assert stf._overlay_symdifference(A, A) == "POLYGON EMPTY"
+    assert stf._overlay_symdifference(
+        g("LINESTRING (0 0, 4 0)"), g("LINESTRING (2 0, 6 0)")
+    ) == "MULTILINESTRING ((0 0, 2 0), (4 0, 6 0))"
+    # edge-adjacent: symdiff == union (intersection is measure-zero)
+    t = stf._overlay_symdifference(
+        g("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"), g("POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))")
+    )
+    assert _result_area(t) == pytest.approx(2.0)
+    rng = np.random.default_rng(21)
+    ok = skip = 0
+    for _t in range(60):
+        a = ("POLYGON", _star(rng, 8, 0, 0), np.asarray([0, 9]))
+        b = (
+            "POLYGON",
+            _star(rng, 8, float(rng.uniform(-2, 2)), float(rng.uniform(-2, 2))),
+            np.asarray([0, 9]),
+        )
+        w = stf._overlay_symdifference(a, b)
+        i = stf._overlay_intersection(a, b)
+        if w is None or i is None:
+            skip += 1
+            continue
+        aa, ab = _geom_area(a), _geom_area(b)
+        ii = _result_area(i)
+        assert _result_area(w) == pytest.approx(aa + ab - 2 * ii, rel=1e-8, abs=1e-8)
+        ok += 1
+    assert ok > 40 and skip < 15
