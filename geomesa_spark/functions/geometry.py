@@ -751,13 +751,15 @@ def _relate_collection(ka, ca, oa, kb, cb, ob) -> Relate:
     semantics); covers is the conservative per-part form — B is covered if
     every part of B is covered by SOME single part of A (a part spanning
     two touching A-parts is reported uncovered). The DE-9IM matrix is
-    combined exactly from the pairwise part matrices for valid
-    collections (parts disjoint and connected): interiors and boundaries
-    are unions of the parts' → cell-wise MAX; the exterior is the
-    INTERSECTION of the parts' exteriors → per-opposite-part MIN, then
-    MAX across that side's own parts (a connected part inside the
-    intersection of disjoint open exteriors lies inside one of them,
-    which makes the min exact)."""
+    combined exactly from the pairwise part matrices WHEN every part
+    has a connected boundary (hole-free) and same-side parts have
+    separated closures: interiors and boundaries are unions of the
+    parts' → cell-wise MAX; the exterior is the INTERSECTION of the
+    parts' exteriors → per-opposite-part MIN, then MAX across that
+    side's own parts (a connected part inside the intersection of
+    separated open exteriors lies inside one of them, which makes the
+    min exact — holed or touching parts break that argument, so those
+    collections keep the dim-based approximate fallback)."""
     parts_a = geom_parts(ka, ca, oa)
     parts_b = geom_parts(kb, cb, ob)
     r = Relate(dim_a=geom_dim(ka, ca), dim_b=geom_dim(kb, cb), equal=geoms_equal(ka, ca, oa, kb, cb, ob))
@@ -778,6 +780,33 @@ def _relate_collection(ka, ca, oa, kb, cb, ob) -> Relate:
             mats[i][j] = de9im(rr)
     r.a_covers_b = all(covered_b)
     r.b_covers_a = all(covered_a)
+    # The exact combination is sound only when (a) every part has a
+    # CONNECTED boundary (a holed polygon's rings can split across
+    # different opposite-part exteriors, breaking the per-opposite-part
+    # MIN for the E row/column) and (b) same-side parts have separated
+    # closures (a connected opposite part covered by two TOUCHING parts
+    # jointly but neither alone breaks the same MIN). Otherwise leave
+    # the matrix to the dim-based fallback — approximate, documented.
+    def _sep(parts):
+        for x in range(len(parts)):
+            kx, cx, _ox = parts[x]
+            for y in range(x + 1, len(parts)):
+                ky, cy, _oy = parts[y]
+                if kx != "POINT" and ky != "POINT":
+                    if (
+                        cx[:, 0].max() < cy[:, 0].min() or cy[:, 0].max() < cx[:, 0].min()
+                        or cx[:, 1].max() < cy[:, 1].min() or cy[:, 1].max() < cx[:, 1].min()
+                    ):
+                        continue
+                if relate_geoms(*parts[x], *parts[y]).any_contact:
+                    return False
+        return True
+
+    exact_ok = all(
+        k2 != "POLYGON" or len(o2) == 2 for k2, _c2, o2 in parts_a + parts_b
+    ) and _sep(parts_a) and _sep(parts_b)
+    if not exact_ok:
+        return r
     rank = {"F": -1, "0": 0, "1": 1, "2": 2}
     sym = "F012"
     cells = []

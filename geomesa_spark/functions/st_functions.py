@@ -856,7 +856,7 @@ def _buffer_geom(ga, radius: float, segments: int = 8) -> str | None:
         return _polys_to_wkt(out) if out else "POLYGON EMPTY"
 
 
-    fills: list = []   # (shell_ring_ccw, part_idx)
+    fills: list = []   # (shell_ring_ccw, [hole_rings_ccw], part_idx)
     holes: list = []   # (hole_ring_ccw, part_idx)
     caps: list = []
     idx = 0
@@ -876,7 +876,11 @@ def _buffer_geom(ga, radius: float, segments: int = 8) -> str | None:
             ]
             if any(len(r) < 4 for r in clean_rings):
                 return None
-            fills.append((geo._ccw_ring(clean_rings[0]), part_i))
+            fills.append((
+                geo._ccw_ring(clean_rings[0]),
+                [geo._ccw_ring(r) for r in clean_rings[1:]],
+                part_i,
+            ))
             for ring in clean_rings:
                 for i in range(len(ring) - 1):
                     caps.append(_capsule(ring[i], ring[i + 1], radius, segments, idx))
@@ -885,7 +889,7 @@ def _buffer_geom(ga, radius: float, segments: int = 8) -> str | None:
                 holes.append((geo._ccw_ring(ring), part_i))
         else:
             return None
-    all_rings = [f for f, _ in fills] + caps
+    all_rings = [f for f, _hs, _pi in fills] + caps
     if not all_rings:
         return None
     parts = _shell_union([all_rings[0]], all_rings[1:])
@@ -896,13 +900,36 @@ def _buffer_geom(ga, radius: float, segments: int = 8) -> str | None:
         hp: list | None = [(h, np.asarray([0, len(h)]))]
         hx0, hy0 = h[:, 0].min() - 1e-12, h[:, 1].min() - 1e-12
         hx1, hy1 = h[:, 0].max() + 1e-12, h[:, 1].max() + 1e-12
-        for ring in caps + [f for f, pi in fills if pi != owner]:
-            if (
+
+        def _bbox_misses(ring):
+            return (
                 ring[:, 0].max() < hx0 or ring[:, 0].min() > hx1
                 or ring[:, 1].max() < hy0 or ring[:, 1].min() > hy1
-            ):
+            )
+
+        for ring in caps:
+            if _bbox_misses(ring):
                 continue  # bbox-disjoint from the hole: nothing to carve
             hp = _region_subtract_ring(hp, ring, pair_diff=_ring_pair_difference_gh)
+            if hp is None:
+                return None
+        for f_shell, _f_holes, pi in fills:
+            if pi == owner or _bbox_misses(f_shell):
+                continue
+            # Only members NESTED INSIDE this hole partition the carve:
+            # an uncovered point belongs to the INNERMOST hole containing
+            # it, so a nested island's bare shell removes exactly the
+            # points the island's own holes will carve instead (keeps
+            # the per-hole carves disjoint — subtracting the island as a
+            # region would double-carve its hole interior and hit the
+            # first carve's boundary). A member CONTAINING this hole
+            # must not subtract at all: its bare shell covers the whole
+            # hole and would wrongly erase the carve.
+            if geo.classify_points_in_polygon(
+                f_shell[:1, 0], f_shell[:1, 1], h, np.asarray([0, len(h)])
+            )[0] != 2:
+                continue
+            hp = _region_subtract_ring(hp, f_shell, pair_diff=_ring_pair_difference_gh)
             if hp is None:
                 return None
         res = _region_subtract_pieces(res, hp)
@@ -1113,9 +1140,14 @@ def _overlay_intersection(ga, gb) -> str | None:
     ka, ca, oa = ga
     kb, cb, ob = gb
     if ka == "GEOMETRYCOLLECTION":
-        # parts are disjoint, so per-part intersections concatenate
+        # per-part intersections concatenate only when the parts share
+        # no interior (overlapping members would double-count a region:
+        # honest null instead)
+        parts = geo.geom_parts(ka, ca, oa)
+        if not _gc_parts_interior_disjoint(parts):
+            return None
         members = []
-        for p in geo.geom_parts(ka, ca, oa):
+        for p in parts:
             w = _overlay_intersection(p, gb)
             if w is None:
                 return None
@@ -1198,6 +1230,30 @@ def _gc_combine(members: list, empty: str = "GEOMETRYCOLLECTION EMPTY") -> str:
     if len(members) == 1:
         return members[0]
     return "GEOMETRYCOLLECTION (" + ", ".join(members) + ")"
+
+
+def _gc_parts_interior_disjoint(parts: list) -> bool:
+    """True when no two collection parts share interior points — the
+    precondition for concatenating per-part overlay results (overlapping
+    members would double-count a region; the per-part decomposition must
+    return honest null instead)."""
+    for i in range(len(parts)):
+        ki, ci, oi = parts[i]
+        for j in range(i + 1, len(parts)):
+            kj, cj, oj = parts[j]
+            if ki != "POINT" and kj != "POINT":
+                # cheap bbox reject before the O(n·m) relate
+                if (
+                    ci[:, 0].max() < cj[:, 0].min() or cj[:, 0].max() < ci[:, 0].min()
+                    or ci[:, 1].max() < cj[:, 1].min() or cj[:, 1].max() < ci[:, 1].min()
+                ):
+                    continue
+            try:
+                if geo.relate_geoms(ki, ci, oi, kj, cj, oj).ii:
+                    return False
+            except Exception:
+                return False
+    return True
 
 
 def _areal_members(kind, coords, offs) -> list | None:
@@ -1571,9 +1627,13 @@ def _overlay_difference(ga, gb) -> str | None:
     kb, cb, ob = gb
     dim = {"POINT": 0, "MULTIPOINT": 0, "LINESTRING": 1, "MULTILINESTRING": 1, "POLYGON": 2, "MULTIPOLYGON": 2}
     if ka == "GEOMETRYCOLLECTION":
-        # parts are disjoint: per-part differences concatenate
+        # per-part differences concatenate only for interior-disjoint
+        # parts (see the intersection branch)
+        parts = geo.geom_parts(ka, ca, oa)
+        if not _gc_parts_interior_disjoint(parts):
+            return None
         members = []
-        for p in geo.geom_parts(ka, ca, oa):
+        for p in parts:
             w = _overlay_difference(p, gb)
             if w is None:
                 return None
@@ -1581,7 +1641,8 @@ def _overlay_difference(ga, gb) -> str | None:
                 members.append(w)
         return _gc_combine(members)
     if kb == "GEOMETRYCOLLECTION":
-        # subtract B's parts sequentially (disjoint, so order-free)
+        # subtract B's parts sequentially (exact even for overlapping
+        # parts — set subtraction composes)
         cur = ga
         for p in geo.geom_parts(kb, cb, ob):
             w = _overlay_difference(cur, p)
@@ -1650,7 +1711,14 @@ def _piece_contact(c2, o2, b2) -> str:
     when every strict sample (b2's vertices AND edge midpoints) lands on
     one side: punching a hole that touches the shell at points is
     parity-exact, and the crossing-based kernels would reject the
-    contact as degenerate for no measurable reason."""
+    contact as degenerate for no measurable reason.
+
+    Representation caveat (deliberate): a punched hole touching the
+    shell at TWO OR MORE points pinches the interior — the point set is
+    exact but strict OGC/JTS would split it into a MULTIPOLYGON of
+    components. This engine's own parity kernels (classification,
+    area, relate, further overlays) treat the pinched form exactly;
+    component splitting is not implemented."""
     b = np.asarray(b2, dtype=np.float64)
     proper, touch, overlap = geo.segment_contact_matrices(
         geo.line_edges(b), geo.polygon_edges(np.asarray(c2, dtype=np.float64), np.asarray(o2))
@@ -1801,12 +1869,13 @@ def _shell_union(ra: list, rb: list) -> list | None:
     return honest null."""
     parts: list = [(np.asarray(r, dtype=np.float64), np.asarray([0, len(r)])) for r in ra]
     for b2 in rb:
-        hits = [i for i, (c2, o2) in enumerate(parts) if _piece_contact(c2, o2, b2) != "disjoint"]
+        contacts = [_piece_contact(c2, o2, b2) for c2, o2 in parts]
+        hits = [i for i, ct in enumerate(contacts) if ct != "disjoint"]
         if not hits:
             b = np.asarray(b2, dtype=np.float64)
             parts.append((b, np.asarray([0, len(b)])))
             continue
-        if len(hits) == 1 and _piece_contact(*parts[hits[0]], b2) == "interior":
+        if len(hits) == 1 and contacts[hits[0]] == "interior":
             continue  # swallowed by the part's interior
         # a member hitting several parts merges them transitively: fold
         # pairwise GH unions through the hit list (each intermediate must
@@ -1977,7 +2046,9 @@ def _simplify_geom(ga, tol: float) -> str | None:
         members = [_simplify_geom(p, tol) for p in geo.geom_parts(kind, coords, offs)]
         if any(m is None for m in members):
             return None
-        return _gc_combine(members)
+        # always keep the collection wrapper (JTS simplifies per
+        # component without changing the geometry type)
+        return "GEOMETRYCOLLECTION (" + ", ".join(members) + ")" if members else "GEOMETRYCOLLECTION EMPTY"
     if kind in _POINTY:
         return geo.wkt_any(kind, coords, offs)
     new_rings: list = []

@@ -208,3 +208,18 @@ def test_buffer_contains_original():
         for _k2, c2, o2 in geo.geom_parts(k, c, o):
             got |= geo.classify_points_in_polygon(c0[:, 0], c0[:, 1], c2, o2) == 2
         assert got.all()
+
+
+def test_buffer_holed_island_inside_hole():
+    """Review regression: a HOLED island nested inside another member's
+    hole — the island's own hole must stay carved (a bare-shell
+    subtraction of the containing member used to swallow the carve)."""
+    rng = np.random.default_rng(31)
+    mp = (
+        "MULTIPOLYGON (((0 0,12 0,12 12,0 12,0 0),(2 2,10 2,10 10,2 10,2 2)),"
+        " ((4.5 4.5,7.5 4.5,7.5 7.5,4.5 7.5,4.5 4.5),(5 5,7 5,7 7,5 7,5 5)))"
+    )
+    w = _check_buffer(mp, 0.3, rng, 13, n=8000)
+    k, c, o = geo.parse_wkt(w)
+    # (6,6) is 1.0 away from every ring and outside the geometry
+    assert not _member(np.asarray([[6.0, 6.0]]), k, c, o)[0]
