@@ -809,6 +809,30 @@ def _relate_collection(ka, ca, oa, kb, cb, ob) -> Relate:
         return r
     rank = {"F": -1, "0": 0, "1": 1, "2": 2}
     sym = "F012"
+
+    def _open_line(p):
+        k2, c2, _o2 = p
+        return k2 == "LINESTRING" and bool(
+            c2[0, 0] != c2[-1, 0] or c2[0, 1] != c2[-1, 1]
+        )
+
+    def _bnd_min(part, opp_parts):
+        # An OPEN linestring's boundary is two DISCONNECTED points, so
+        # the per-opposite-part MIN is unsound for the whole part (the
+        # endpoints can sit in different opposite-part exteriors). Each
+        # endpoint IS a connected component, so apply the MIN per
+        # endpoint exactly (IE cell of the point relate: 'F' iff the
+        # endpoint is in that part's closure), then MAX across the two.
+        c2 = part[1]
+        best = -1
+        for pt in (c2[0], c2[-1]):
+            pg = ("POINT", np.asarray([pt]), np.asarray([0, 1]))
+            best = max(
+                best,
+                min(rank[de9im(relate_geoms(*pg, *op))[2]] for op in opp_parts),
+            )
+        return best
+
     cells = []
     for row in range(3):
         for col in range(3):
@@ -819,9 +843,24 @@ def _relate_collection(ka, ca, oa, kb, cb, ob) -> Relate:
             elif row < 2 and col < 2:
                 v = max(max(vr) for vr in vals)
             elif col == 2:  # X(A) ∩ E(B): union over A parts, ∩ of B exteriors
-                v = max(min(vr) for vr in vals)
+                if row == 1 and nb > 1:
+                    v = max(
+                        _bnd_min(parts_a[i], parts_b)
+                        if _open_line(parts_a[i]) else min(vals[i])
+                        for i in range(na)
+                    )
+                else:
+                    v = max(min(vr) for vr in vals)
             else:  # E(A) ∩ X(B): ∩ of A exteriors, union over B parts
-                v = max(min(vals[i][j] for i in range(na)) for j in range(nb))
+                if col == 1 and na > 1:
+                    v = max(
+                        _bnd_min(parts_b[j], parts_a)
+                        if _open_line(parts_b[j])
+                        else min(vals[i][j] for i in range(na))
+                        for j in range(nb)
+                    )
+                else:
+                    v = max(min(vals[i][j] for i in range(na)) for j in range(nb))
             cells.append(sym[v + 1])
     r.matrix = "".join(cells)
     return r

@@ -786,10 +786,17 @@ def _buffer_geom(ga, radius: float, segments: int = 8) -> str | None:
         return None
     kind, coords, offs = ga
 
-    def _dropcollinear(pts: np.ndarray, closed: bool) -> np.ndarray:
-        # collinear consecutive edges give exactly-collinear capsule
-        # sides (degenerate overlap for the union fold); dropping the
-        # middle vertex changes nothing geometrically
+    def _dropcollinear(pts: np.ndarray, closed: bool) -> np.ndarray | None:
+        # collinear FORWARD-continuing edges give exactly-collinear
+        # capsule sides (degenerate overlap for the union fold);
+        # dropping the middle vertex changes nothing geometrically.
+        # A REVERSAL vertex (cross==0 but the path doubles back,
+        # dot<0) is NOT droppable — dropping it silently deletes the
+        # spike's buffer. For closed rings a reversal means a
+        # zero-width spike in the boundary: an INVALID polygon → None
+        # (honest null). Open lines never reach here with reversals
+        # (they go through _line_edges, which merges the collinear
+        # overlap instead).
         pts = np.asarray(pts, dtype=np.float64)
         if len(pts) < 3:
             return pts
@@ -801,11 +808,72 @@ def _buffer_geom(ga, radius: float, segments: int = 8) -> str | None:
                 keep.append(body[i])
                 continue
             a, b, c = body[(i - 1) % n], body[i], body[(i + 1) % n]
-            if (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0]) != 0:
+            cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+            if cross != 0:
                 keep.append(body[i])
+                continue
+            dot = (b[0] - a[0]) * (c[0] - b[0]) + (b[1] - a[1]) * (c[1] - b[1])
+            if dot < 0:
+                if closed:
+                    return None  # spiked ring: invalid polygon
+                keep.append(body[i])
+            # dot >= 0: duplicate point or strict forward continuation
+            # — dropping b is geometrically a no-op
         out = np.asarray(keep, dtype=np.float64)
         if closed:
             out = np.vstack([out, out[:1]])
+        return out
+
+    def _line_edges(pts: np.ndarray) -> list:
+        """Edge list for an open polyline, with exactly-collinear
+        overlapping/touching edges merged into maximal segments.
+        A reversal 'spike' vertex makes one edge (partially) retrace
+        another on the same line; since buffer = ∪ per-edge capsules,
+        merging the collinear overlap preserves the point-set exactly
+        while removing the exactly-collinear capsule sides that are
+        degenerate for the GH union fold."""
+        pts = np.asarray(pts, dtype=np.float64)
+        edges = [
+            (pts[i], pts[i + 1])
+            for i in range(len(pts) - 1)
+            if pts[i][0] != pts[i + 1][0] or pts[i][1] != pts[i + 1][1]
+        ]
+        n = len(edges)
+        used = [False] * n
+        out: list = []
+        for i in range(n):
+            if used[i]:
+                continue
+            p, q = edges[i]
+            d = q - p
+            group = [i]
+            for j in range(i + 1, n):
+                if used[j]:
+                    continue
+                p2, q2 = edges[j]
+                c1 = d[0] * (p2[1] - p[1]) - d[1] * (p2[0] - p[0])
+                c2 = d[0] * (q2[1] - p[1]) - d[1] * (q2[0] - p[0])
+                if c1 == 0.0 and c2 == 0.0:
+                    group.append(j)
+            if len(group) == 1:
+                out.append((p, q))
+                continue
+            ivs = []
+            for j in group:
+                used[j] = True
+                a = float((edges[j][0] - p) @ d)
+                b = float((edges[j][1] - p) @ d)
+                ivs.append((min(a, b), max(a, b)))
+            ivs.sort()
+            lo0, hi0 = ivs[0]
+            dd = float(d @ d)
+            for lo, hi in ivs[1:]:
+                if lo <= hi0:
+                    hi0 = max(hi0, hi)
+                else:
+                    out.append((p + (lo0 / dd) * d, p + (hi0 / dd) * d))
+                    lo0, hi0 = lo, hi
+            out.append((p + (lo0 / dd) * d, p + (hi0 / dd) * d))
         return out
     if radius < 0:
         # erosion, areal subjects only (negative buffer of lines/points
@@ -828,7 +896,7 @@ def _buffer_geom(ga, radius: float, segments: int = 8) -> str | None:
                 _dropcollinear(c2[o2[ridx]:o2[ridx + 1]], closed=True)
                 for ridx in range(len(o2) - 1)
             ]
-            if any(len(r) < 4 for r in rings2):
+            if any(r is None or len(r) < 4 for r in rings2):
                 return None
             cur: list | None = [_member_piece(rings2[0], rings2[1:])]
             for ring in rings2:
@@ -865,16 +933,15 @@ def _buffer_geom(ga, radius: float, segments: int = 8) -> str | None:
             caps.append(_disc(c2[0], radius, segments, idx))
             idx += 1
         elif k2 == "LINESTRING":
-            line = _dropcollinear(c2, closed=False)
-            for i in range(len(line) - 1):
-                caps.append(_capsule(line[i], line[i + 1], radius, segments, idx))
+            for p_e, q_e in _line_edges(c2):
+                caps.append(_capsule(p_e, q_e, radius, segments, idx))
                 idx += 1
         elif k2 == "POLYGON":
             clean_rings = [
                 _dropcollinear(c2[o2[ridx]:o2[ridx + 1]], closed=True)
                 for ridx in range(len(o2) - 1)
             ]
-            if any(len(r) < 4 for r in clean_rings):
+            if any(r is None or len(r) < 4 for r in clean_rings):
                 return None
             fills.append((
                 geo._ccw_ring(clean_rings[0]),

@@ -666,6 +666,7 @@ def exact_substring_pairs(
     # anchor table instead of re-deriving md5 anchors, and the join gets
     # real size stats (A/B-measured ~2x; see contract.q_exact_substring_pairs)
     pg = _esub_anchors(docs, k, id_col, text_col).localCheckpoint(eager=True)
+    pg_dense = pg  # uncapped: the strided re-verify needs TRUE spans
     if anchor_df_cap is not None:
         hot = (
             pg.groupBy("g")
@@ -707,13 +708,17 @@ def exact_substring_pairs(
         # the verify join — without this the b side reshuffles the WHOLE
         # corpus anchor table per verify (the same mistake the dedup
         # index prune exists to avoid); candidates are assumed
-        # broadcast-small, the premise of the broadcast(cand) hint too
+        # broadcast-small, the premise of the broadcast(cand) hint too.
+        # pgc MUST come from the UNCAPPED table (pg_dense): the df-cap is
+        # a candidate-generation filter only — spans computed with hot
+        # anchors removed split runs containing a capped anchor into
+        # shorter islands, deflating max_span below the true value.
         cand_ids = (
             cand.select(F.col("da").alias("doc_id"))
             .union(cand.select(F.col("db").alias("doc_id")))
             .distinct()
         )
-        pgc = pg.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        pgc = pg_dense.join(F.broadcast(cand_ids), "doc_id", "left_semi")
         pa = (
             pgc.join(F.broadcast(cand), pgc.doc_id == cand.da)
             .select("da", "db", F.col("i").alias("ia"), "g")

@@ -223,3 +223,32 @@ def test_buffer_holed_island_inside_hole():
     k, c, o = geo.parse_wkt(w)
     # (6,6) is 1.0 away from every ring and outside the geometry
     assert not _member(np.asarray([[6.0, 6.0]]), k, c, o)[0]
+
+
+def test_buffer_spike_reversal_vertices():
+    """Advisor regression (r5): a 'spike' vertex where the path doubles
+    back along the same line used to be dropped as collinear, silently
+    deleting the buffer around the retraced segment. Now collinear
+    OVERLAPPING edges merge into maximal segments (the point-set union
+    is unchanged), so the distance-field check covers the full extent."""
+    rng = np.random.default_rng(33)
+    # the advisor's exact case: max x must reach 2 + r, not 1 + r
+    w = _check_buffer("LINESTRING (0 0, 2 0, 1 0)", 0.5, rng, 4)
+    k, c, o = geo.parse_wkt(w)
+    assert _member(np.asarray([[2.3, 0.0]]), k, c, o)[0]
+    # overshooting reversal: second edge LONGER than the first
+    w = _check_buffer("LINESTRING (0 0, 2 0, -1 0)", 0.5, rng, 4)
+    k, c, o = geo.parse_wkt(w)
+    assert _member(np.asarray([[2.3, 0.0], [-1.3, 0.0]]), k, c, o).all()
+    # zigzag along one line + continuation off-line
+    _check_buffer("LINESTRING (0 0, 2 0, 1 0, 3 0, 3 2)", 0.4, rng, 5)
+    # spike at the very end of a bent line
+    _check_buffer("LINESTRING (0 2, 0 0, 2 0, 0.5 0)", 0.4, rng, 4)
+
+
+def test_buffer_spiked_ring_honest_null():
+    """A zero-width spike in a polygon ring is an invalid polygon: the
+    buffer returns None (honest null), never a silently-wrong answer."""
+    g = geo.parse_wkt("POLYGON ((0 0, 4 0, 4 2, 2 2, 2 3, 2 2, 0 2, 0 0))")
+    assert stf._buffer_geom(g, 0.1) is None
+    assert stf._buffer_geom(g, -0.1) is None

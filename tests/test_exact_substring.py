@@ -106,3 +106,26 @@ def test_stride_guard(spark):
     docs = _mkdocs(spark, ["x" * 50])
     with pytest.raises(ValueError):
         dedup.exact_substring_pairs(docs, k=20, dup_span=30, stride=15)
+
+
+def test_hot_anchor_inside_dup_run_exact_span(spark):
+    """Advisor regression (r5): a qualifying run containing an anchor
+    with df > anchor_df_cap must still verify with EXACT span — the
+    dense re-verify uses the UNCAPPED anchor table (the cap is a
+    candidate-generation filter only). With the bug, removing the hot
+    anchor split the 60-char run into two 39-char islands (< dup_span)
+    and the dup pair vanished."""
+    rng = random.Random(11)
+    hot = _rand_text(rng, K)  # exactly k chars -> ONE shared hot anchor
+    run = _rand_text(rng, 20) + hot + _rand_text(rng, 20)  # 60-char run
+    texts = [
+        _rand_text(rng, 50) + run + _rand_text(rng, 50),
+        _rand_text(rng, 80) + run + _rand_text(rng, 20),
+    ]
+    # 70 more docs carrying the hot k-gram -> df = 72 > cap 64
+    texts += [_rand_text(rng, 40) + hot + _rand_text(rng, 40) for _ in range(70)]
+    docs = _mkdocs(spark, texts)
+    strided = _pairs(
+        dedup.exact_substring_pairs(docs, k=K, dup_span=DUP, stride=K // 2, anchor_df_cap=64)
+    )
+    assert strided == {(0, 1): (60, 1, 1)}

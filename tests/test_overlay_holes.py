@@ -287,6 +287,42 @@ def test_de9im_multipart_goldens():
         assert got == want, (a, b, want, got)
 
 
+def test_de9im_gc_open_linestring_boundary():
+    """Advisor regression (r5): an open LINESTRING part's boundary is
+    two DISCONNECTED points, so the whole-part per-opposite-part MIN is
+    unsound when the other side is multi-part. The combination now
+    applies the MIN per endpoint COMPONENT (each a connected point).
+    Here each endpoint sits inside a different B member, so B(A)∩E(B)
+    is truly 'F'; the buggy exact path returned '0'."""
+    A = geo.parse_wkt("GEOMETRYCOLLECTION (LINESTRING (0 0, 10 0))")
+    B = geo.parse_wkt(
+        "MULTIPOLYGON (((-1 -1, 1 -1, 1 1, -1 1, -1 -1)),"
+        " ((9 -1, 11 -1, 11 1, 9 1, 9 -1)))"
+    )
+    assert geo.de9im(geo.relate_geoms(*A, *B)) == "1010FF212"
+    # one endpoint inside a member, one in the open: BE is truly '0'
+    B0 = geo.parse_wkt(
+        "MULTIPOLYGON (((-1 -1, 1 -1, 1 1, -1 1, -1 -1)),"
+        " ((4 -1, 6 -1, 6 1, 4 1, 4 -1)))"
+    )
+    got0 = geo.de9im(geo.relate_geoms(*A, *B0))
+    assert got0[5] == "0", got0
+    # symmetric side: open-line GC on the B side of a MULTIPOLYGON A —
+    # the transpose of the matrix above (E(A)∩B(B) is the exact cell)
+    assert geo.de9im(geo.relate_geoms(*B, *A)) == "1020F11F2"
+    # single-part opposite side: min over one part is trivially exact,
+    # the open-line GC keeps the exact combination
+    B1 = geo.parse_wkt("POLYGON ((-1 -1, 1 -1, 1 1, -1 1, -1 -1))")
+    assert geo.de9im(geo.relate_geoms(*A, *B1)) == "1010F0212"
+    # closed-ring LINESTRING part: empty boundary is connected, exact
+    # combination allowed — ring inside one member, disjoint matrix rows
+    A2 = geo.parse_wkt(
+        "GEOMETRYCOLLECTION (LINESTRING (-0.5 -0.5, 0.5 -0.5, 0.5 0.5,"
+        " -0.5 0.5, -0.5 -0.5))"
+    )
+    assert geo.de9im(geo.relate_geoms(*A2, *B)) == "1FFFFF212"
+
+
 def test_chain_closed_rings_contract():
     """The rechainer refuses ambiguity: an open chain and a degree-4
     junction both return None; a clean split rectangle re-chains."""
