@@ -2281,6 +2281,42 @@ def q_exact_substring_strided(spark, sf_dir):
     ).orderBy("da", "db")
 
 
+@_q(
+    "exact_substring_auto",
+    (
+        "with pos as (select doc_id, text, "
+        "unnest(range(1, greatest(length(text), 1) + 1)) i from documents), "
+        f"pgrams as (select doc_id, i, ('0x' || substring(md5(substring(text, i, {ESUB_K})), 1, 15))::bigint g "
+        f"from pos where length(substring(text, i, {ESUB_K})) = {ESUB_K}), "
+        "m as (select a.doc_id da, b.doc_id db, a.i ia, b.i ib "
+        "from pgrams a join pgrams b on a.g = b.g and a.doc_id < b.doc_id), "
+        "isl as (select da, db, ia - ib diag, ia, "
+        "ia - row_number() over (partition by da, db, ia - ib order by ia) iid from m), "
+        f"runs as (select da, db, count(*) + {ESUB_K} - 1 span from isl group by da, db, diag, iid), "
+        "best as (select da, db, max(span) ms, count(*) ns from runs group by da, db) "
+        "select da, db, cast(ms as bigint) max_span, cast(ns as bigint) n_spans, "
+        f"cast(1 as bigint) is_dup from best where ms >= {ESUB_DUP_SPAN} order by da, db"
+    ),
+)
+def q_exact_substring_auto(spark, sf_dir):
+    """Crossover-guarded exact-substring dedup: ``stride="auto"`` sizes
+    the corpus with one sum-of-lengths scan and picks dense below the
+    measured ESUB_AUTO_FLOOR_CHARS floor (the strided machinery's fixed
+    barriers cost 4.1× dense at sf0.1), strided k/2 + df-cap above it —
+    the same measured-floor auto-selection dedupe_and_append ships for
+    its index prune. Both branches return the dup subset, so the DENSE
+    all-pairs SQL stays the oracle regardless of which plan auto picks
+    (tests/test_exact_substring.py asserts the flip both ways)."""
+    from geomesa_spark.operators import dedup as D
+
+    d = _load_docs(spark, sf_dir)
+    return (
+        D.exact_substring_pairs(d, k=ESUB_K, dup_span=ESUB_DUP_SPAN, stride="auto")
+        .where(F.col("is_dup") == 1)
+        .orderBy("da", "db")
+    )
+
+
 CURATE_MIN_TOKENS = 20  # ~10th percentile of the fixture
 CURATE_MIN_TTR = 30     # type-token-ratio floor (%, ~10th percentile)
 
@@ -2720,12 +2756,34 @@ def q_decontamination(spark, sf_dir):
         grams.unpersist()
 
 
-@_q("hex_rollup", None)
+_HEX_GOLDEN = os.path.normpath(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "goldens",
+                 "hex_rollup_golden.parquet")
+)
+
+
+@_q(
+    "hex_rollup",
+    f"""
+    SELECT hex5, n FROM (
+      SELECT hex5, n FROM read_parquet('{_HEX_GOLDEN}')
+      WHERE sf_rows = (SELECT count(*) FROM events)
+      ORDER BY n DESC, hex5 LIMIT 200
+    )
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS hex5, count(*) AS n FROM events
+    """,
+)
 def q_hex_rollup(spark, sf_dir):
     """Aperture-7 hex pyramid rollup (H3-semantics layer): events → res-7
     hex histogram → re-key every cell to its res-5 ancestor (two
-    hex_parent steps, vectorized UDF) → re-aggregate. Rows-only: hex math
-    is not SQL-expressible. Mirrors tile_rollup for the icosahedral grid."""
+    hex_parent steps, vectorized UDF) → re-aggregate. Mirrors tile_rollup
+    for the icosahedral grid. Hex ids are not SQL-expressible, so the
+    oracle joins the PINNED golden (goldens/hex_rollup_golden.parquet,
+    regenerated by jobs/make_hex_golden.py — freezes the hexgrid build's
+    ids so a future hexgrid regression is a driver hash mismatch) and
+    independently checks mass conservation: the appended (-1, total)
+    row must equal DuckDB's own count(*) of events."""
     from geomesa_spark.functions import hexgrid as H
 
     pts = events_points(spark, sf_dir)
@@ -2743,13 +2801,16 @@ def q_hex_rollup(spark, sf_dir):
         .groupBy("hex7")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return (
+    roll = (
         h7.withColumn("hex5", parent5("hex7"))
         .groupBy("hex5")
         .agg(F.sum("n").alias("n"))
-        .orderBy(F.desc("n"), "hex5")
-        .limit(200)
     )
+    top = roll.orderBy(F.desc("n"), "hex5").limit(200)
+    cons = roll.agg(F.sum("n").alias("n")).select(
+        F.lit(-1).cast("long").alias("hex5"), F.col("n").cast("long").alias("n")
+    )
+    return top.unionAll(cons)
 
 
 @_q("media_features", None)
@@ -2965,8 +3026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n
         for n in (
             # (a) exact twins / stage-subsets of queries still in the
-            # window: knn_crossjoin ≡ knn_expand_ring and
-            # embed_neardup_lsh ≡ embed_neardup_pairs (same oracle by
+            # window (all r1/r2 driver-stamped green before demotion):
+            # knn_crossjoin ≡ knn_expand_ring (same oracle by
             # construction); pip_count_salted shares its output with
             # pip_count_broadcast/auto (the salted plan flip is
             # pytest-asserted); minhash_signatures / simhash_fingerprints
@@ -2979,24 +3040,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "simhash_fingerprints",
             "dedup_jaccard",
             "pip_count_salted",
-            "embed_neardup_lsh",
             "knn_crossjoin",
-            # (b) r01+r02+r03-green veterans rotated out this round so
-            # the never-stamped queries (token_totals,
-            # tile_counts_webmercator, pip_anti_count, stratified_sample,
-            # source_quality_rollup, exact_substring_strided) take their
-            # slots: each veteran's code path stays driver-covered by an
-            # in-window sibling (pip_count_* for pip_semi, dwithin_planar
-            # for dwithin_stored, tile_rollup/density_grid for
-            # tile_counts_equirect, value_histogram's sibling
-            # z3_week_histogram stays in, topk_event_types ≈ groupBy
-            # top-k of latest_per_user's window family).
+            # (b) r1-r3-green veterans rotated out in round 4 (their code
+            # paths stay driver-covered by in-window siblings — pip_count_*
+            # for pip_semi, dwithin_planar for dwithin_stored,
+            # tile_rollup/density_grid for tile_counts_equirect,
+            # z3_week_histogram for value_histogram/stats_by_lang,
+            # latest_per_user's window family for topk_event_types).
             "pip_semi",
             "dwithin_stored",
             "tile_counts_equirect",
             "stats_by_lang",
             "value_histogram",
             "topk_event_types",
+            # (c) round-5 rotation: four-round-green veterans yield slots
+            # so the only never-driver-stamped queries get their first
+            # stamps (embed_neardup_lsh — promoted out of class (a) —
+            # plus the new exact_substring_auto, the hex_rollup oracle
+            # upgrade, and rows-only ann_ivf_topk). All three are trivial
+            # single-shuffle aggregations with in-window siblings
+            # (pricing_rollup covers pricing_summary, ngram/lsh cover
+            # dedup_exact's md5 groupBy, stratified_sample covers
+            # sample_deterministic's hash-mod sampling).
+            "pricing_summary",
+            "dedup_exact",
+            "sample_deterministic",
         )
         if n in with_oracle
     ]
@@ -3005,7 +3073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver's observed attempt window), then the demoted oracle twins
     # (still exact-value-checked by tests/test_contract.py at sf0.001
     # every CI run), then the remaining rows-only entries
-    first = [n for n in ("hex_rollup", "media_features") if n in rows_only]
+    first = [n for n in ("media_features", "ann_ivf_topk") if n in rows_only]
     return {
         **{n: f for n, f in with_oracle.items() if n not in demoted},
         **{n: rows_only[n] for n in first},

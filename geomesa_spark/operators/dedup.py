@@ -621,14 +621,31 @@ def _esub_best_spans(m: DataFrame, k: int, step: int) -> DataFrame:
     return runs.groupBy("da", "db").agg(F.max("span").alias("ms"), F.count(F.lit(1)).alias("ns"))
 
 
+# Dense-vs-strided crossover floor (total corpus chars). Measured by
+# bench_esub_crossover.py (numbers in BENCH/BASELINE.md): the strided
+# config pays ~3 fixed barrier stages (df-cap aggregation + two
+# broadcast-semi prunes + dense re-verify) that only amortize once the
+# dense anchor join's shuffle dominates; below the floor dense wins
+# outright (sf0.1 ≈ 48M chars: dense 2.0 s vs strided 8.2 s).
+ESUB_AUTO_FLOOR_CHARS = 1_500_000_000
+
+
+def _esub_choose_stride(total_chars: int, k: int, floor_chars: int) -> int:
+    """stride='auto' decision: dense (1) below the measured crossover
+    floor, k//2 (the recall-guaranteed maximum for dup_span >= 2k-1)
+    above it."""
+    return max(k // 2, 1) if total_chars >= floor_chars else 1
+
+
 def exact_substring_pairs(
     docs: DataFrame,
     k: int = 20,
     dup_span: int = 40,
-    stride: int = 1,
+    stride: int | str = 1,
     anchor_df_cap: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    auto_floor_chars: int | None = None,
 ) -> DataFrame:
     """Doc pairs sharing a verbatim character run, with exact longest-run
     length — the suffix-array ExactSubstr dedup re-expressed as anchor
@@ -656,7 +673,22 @@ def exact_substring_pairs(
     consists solely of capped anchors; recall preservation on real
     corpora is an empirical property (tested on the fixture), not a
     guarantee — same contract as the LSH bucket cap.
+    ``stride="auto"``: pick the config from the corpus size (one cheap
+    sum-of-lengths scan), mirroring ``dedupe_and_append``'s measured
+    prune floor: dense below ``ESUB_AUTO_FLOOR_CHARS`` total characters
+    (the strided machinery's fixed barriers cost more than they save
+    there — 4.1× at sf0.1), strided ``k//2`` + df-cap 64 above it.
     """
+    if stride == "auto":
+        total_chars = (
+            docs.agg(F.sum(F.length(text_col)).alias("c")).first()["c"] or 0
+        )
+        stride = _esub_choose_stride(
+            total_chars, k, auto_floor_chars
+            if auto_floor_chars is not None else ESUB_AUTO_FLOOR_CHARS,
+        )
+        if stride > 1 and anchor_df_cap is None:
+            anchor_df_cap = 64
     if stride > 1 and dup_span < k + stride - 1:
         raise ValueError(
             f"recall guarantee needs dup_span >= k + stride - 1 "

@@ -7,8 +7,10 @@ reference's HOCON configs); everything it produces is Catalyst
 expressions — no per-row Python anywhere:
 
     spec = {
-        "format": "csv",                       # csv | json | parquet
+        "format": "csv",                       # csv | json | xml | parquet
         "options": {"header": "true"},         # passed to the reader
+                                               # (xml: {"rowTag": "site"} —
+                                               # Spark 4's native XML source)
         "fields": [                            # SQL exprs over raw columns
             {"name": "name", "expr": "upper(site)"},
             {"name": "lon",  "expr": "cast(x as double)"},

@@ -129,3 +129,37 @@ def test_hot_anchor_inside_dup_run_exact_span(spark):
         dedup.exact_substring_pairs(docs, k=K, dup_span=DUP, stride=K // 2, anchor_df_cap=64)
     )
     assert strided == {(0, 1): (60, 1, 1)}
+
+
+def test_auto_mode_crossover_flip(spark):
+    """stride='auto' mirrors dedupe_and_append's measured-floor guard:
+    dense below ESUB_AUTO_FLOOR_CHARS, strided k/2 + df-cap 64 above.
+    Asserts the decision helper flips at the floor, and that BOTH
+    branches of the end-to-end auto path return the dense dup subset."""
+    assert dedup._esub_choose_stride(10**9, K, 15 * 10**8) == 1
+    assert dedup._esub_choose_stride(15 * 10**8, K, 15 * 10**8) == K // 2
+    assert dedup.ESUB_AUTO_FLOOR_CHARS == 1_500_000_000
+
+    rng = random.Random(5)
+    shared = _rand_text(rng, 60)
+    texts = [
+        _rand_text(rng, 40) + shared + _rand_text(rng, 40),
+        _rand_text(rng, 70) + shared + _rand_text(rng, 10),
+        _rand_text(rng, 120),
+    ]
+    docs = _mkdocs(spark, texts)
+    dense_dups = {
+        p: v
+        for p, v in _pairs(dedup.exact_substring_pairs(docs, k=K, dup_span=DUP)).items()
+        if v[2] == 1
+    }
+    # floor above the corpus (~400 chars): auto -> dense
+    low = dedup.exact_substring_pairs(
+        docs, k=K, dup_span=DUP, stride="auto", auto_floor_chars=10**9
+    )
+    # floor below the corpus: auto -> strided + cap
+    high = dedup.exact_substring_pairs(
+        docs, k=K, dup_span=DUP, stride="auto", auto_floor_chars=100
+    )
+    assert {p: v for p, v in _pairs(low).items() if v[2] == 1} == dense_dups
+    assert _pairs(high) == dense_dups
