@@ -335,11 +335,24 @@ def run_scaling() -> tuple[dict | None, dict]:
 
     detail: dict = {}
     passes: list[dict] = []
+    use_pin = os.environ.get("SPARK_GRAFT_SCALING_PIN", "1") != "0" and shutil.which(
+        "taskset"
+    )
     for p in range(int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "3"))):
         res: dict = {}
         for cpus in (2, 8):
+            # Pin the WHOLE process tree (JVM + forked python workers)
+            # to exactly `cpus` cores: unpinned, a local[2] JVM's helper
+            # threads (Arrow encode, G1 concurrent GC, scheduler) run
+            # free on the machine's 30 idle cores — capacity a real
+            # 2-core executor does not have — inflating the small-level
+            # throughput and deflating the measured ratio (~0.79 with a
+            # Spark-free control at 0.997; see BENCH/BASELINE.md r5).
+            argv = [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cpus)]
+            if use_pin:
+                argv = ["taskset", "-c", f"0-{cpus - 1}"] + argv
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cpus)],
+                argv,
                 capture_output=True,
                 text=True,
                 timeout=1800,

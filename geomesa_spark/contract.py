@@ -2882,7 +2882,7 @@ def fused_pip_stage(level: int = GRID_LEVEL):
     Python work. Semantically identical to the unfused path
     (equality-tested in tests/test_contract.py)."""
     from geomesa_spark.functions import geometry as geo
-    from geomesa_spark.sources.extract import extract_entities_series
+    from geomesa_spark.sources.extract import extract_entities_arrow
 
     gaz_idx = synth.gazetteer_pdf().set_index("name")
     polys = synth.polygons()
@@ -2894,9 +2894,16 @@ def fused_pip_stage(level: int = GRID_LEVEL):
 
         schema = pa.schema([("url", pa.string()), ("polygon_id", pa.int64())])
         for batch in batches:
-            pdf = batch.to_pandas()
-            ents = extract_entities_series(pdf["html"])
-            e = pd.DataFrame({"url": pdf["url"], "entity": ents}).explode("entity").dropna()
+            # single-pass buffer scan: no per-page decode/allocations
+            # (equality vs the Series path asserted in tests); only
+            # MATCHED rows' urls ever convert to Python objects
+            rows, names = extract_entities_arrow(batch.column("html"))
+            e = pd.DataFrame(
+                {
+                    "url": batch.column("url").take(pa.array(rows)).to_pandas(),
+                    "entity": names,
+                }
+            )
             j = e.join(gaz_idx, on="entity", how="inner")
             cell = C.grid_encode(j["lon"].to_numpy(np.float64), j["lat"].to_numpy(np.float64), level)
             j = j.assign(cell=cell).merge(covers, on="cell", how="inner")

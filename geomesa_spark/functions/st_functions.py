@@ -1208,11 +1208,16 @@ def _overlay_intersection(ga, gb) -> str | None:
     kb, cb, ob = gb
     if ka == "GEOMETRYCOLLECTION":
         # per-part intersections concatenate only when the parts share
-        # no interior (overlapping members would double-count a region:
-        # honest null instead)
+        # no interior (overlapping members would double-count a region);
+        # overlapping members first re-union into the canonical
+        # interior-disjoint form (point-set identity), honest null only
+        # when that union is itself unsupported
         parts = geo.geom_parts(ka, ca, oa)
         if not _gc_parts_interior_disjoint(parts):
-            return None
+            norm = _gc_normalized(ga)
+            if norm is None:
+                return None
+            return _overlay_intersection(norm, gb)
         members = []
         for p in parts:
             w = _overlay_intersection(p, gb)
@@ -1561,6 +1566,34 @@ def _boundary_rechain(ga, gb, expected_area: float) -> str | None:
     return _polys_to_wkt(out)
 
 
+def _union_via_difference(ga, gb) -> str | None:
+    """Union of PROPERLY-OVERLAPPING areal operands whose direct GH fold
+    is degenerate (partially shared edges — e.g. two rectangles sharing
+    part of an edge while overlapping): A ∪ B = rechain(A, B \\ A).
+    B \\ A survives the degeneracy through the difference kernel's
+    half-plane decomposition (exact incl. shared edges for convex
+    members), its pieces touch A by construction (interiors disjoint),
+    and the touching-union rechainer is gated by the exact area identity
+    area(A) + area(B \\ A) = area(A ∪ B) — so this can only return the
+    right polygon or None, never a wrong one. Both operand orders are
+    tried; measured effect in BENCH/overlay_null_rate.json."""
+    for x, y in ((ga, gb), (gb, ga)):
+        d = _overlay_difference(y, x)
+        if d is None:
+            continue
+        if d.endswith(" EMPTY"):
+            return geo.wkt_any(*x)
+        gd = geo.parse_wkt(d)
+        if gd[0] not in _AREAL:
+            continue
+        out = _boundary_rechain(
+            x, gd, _areal_area(x[1], x[2]) + _areal_area(gd[1], gd[2])
+        )
+        if out is not None:
+            return out
+    return None
+
+
 def _areal_relate_fallback(ga, gb, op: str) -> str | None:
     """Exact answers for (MULTI)POLYGON pairs the crossing-based kernels
     reject as degenerate, recovered from the DE-9IM relationship: equal
@@ -1695,10 +1728,14 @@ def _overlay_difference(ga, gb) -> str | None:
     dim = {"POINT": 0, "MULTIPOINT": 0, "LINESTRING": 1, "MULTILINESTRING": 1, "POLYGON": 2, "MULTIPOLYGON": 2}
     if ka == "GEOMETRYCOLLECTION":
         # per-part differences concatenate only for interior-disjoint
-        # parts (see the intersection branch)
+        # parts; overlapping members re-union first (see the
+        # intersection branch)
         parts = geo.geom_parts(ka, ca, oa)
         if not _gc_parts_interior_disjoint(parts):
-            return None
+            norm = _gc_normalized(ga)
+            if norm is None:
+                return None
+            return _overlay_difference(norm, gb)
         members = []
         for p in parts:
             w = _overlay_difference(p, gb)
@@ -1851,6 +1888,8 @@ def _overlay_union(ga, gb) -> str | None:
         res = _areal_union(ga, gb)
         if res is None:
             res = _areal_relate_fallback(ga, gb, "union")
+        if res is None:
+            res = _union_via_difference(ga, gb)
         return res
     # mixed dimensions (JTS semantics): the lower-dim operand survives
     # only outside the higher-dim one — GEOMETRYCOLLECTION(high, low \ high)
@@ -1876,7 +1915,31 @@ def _gc_union(ga, gb) -> str | None:
     the areal union, linework folds through the linear union, then each
     lower dimension keeps only what lies outside every higher dimension
     (the same JTS rule as the mixed-dimension pair)."""
-    parts = geo.geom_parts(*ga) + geo.geom_parts(*gb)
+    return _parts_canonical_union(geo.geom_parts(*ga) + geo.geom_parts(*gb))
+
+
+def _gc_normalized(g) -> tuple | None:
+    """Canonical interior-disjoint form of a GEOMETRYCOLLECTION: its own
+    parts re-unioned by dimension (overlapping areal members merge via
+    the areal union kernel, linework dedupes against itself and the
+    areal, points keep only what no higher dimension covers). The result
+    is point-set-equal to the input, so per-part overlay decomposition
+    becomes sound on it — this turns the former
+    GC-with-overlapping-members honest-null class into exact answers
+    wherever the union kernels are exact. None when a member union is
+    itself unsupported (degenerate contact the rechainer refuses)."""
+    w = _parts_canonical_union(geo.geom_parts(*g))
+    if w is None or w.endswith(" EMPTY"):
+        return None
+    out = geo.parse_wkt(w)
+    if out[0] == "GEOMETRYCOLLECTION" and not _gc_parts_interior_disjoint(
+        geo.geom_parts(*out)
+    ):
+        return None  # termination guard: normalization must converge
+    return out
+
+
+def _parts_canonical_union(parts: list) -> str | None:
     by_kind = {"POLYGON": [], "LINESTRING": [], "POINT": []}
     for p in parts:
         if p[0] not in by_kind:

@@ -77,3 +77,41 @@ def test_pages_spark_distributed(spark):
     assert (pdf["text"] == local["text"]).all()
     assert (pdf["html"].map(bytes) == local["html"]).all()
     assert len(pdf) == 300
+
+
+def test_extract_entities_arrow_equals_series():
+    """The single-pass Arrow-buffer scan (used by the fused pipeline)
+    must agree row-for-row with the per-row findall Series path —
+    including multi-byte names, multiple matches per row, no-match rows,
+    and a pattern STRADDLING a row boundary (which must NOT match)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from geomesa_spark.sources import extract as EX
+
+    pages = [
+        b'x<span class="geo" data-name="Paris">y</span>z',
+        b"no entities here",
+        b'<span class="geo" data-name="Tokyo">a'
+        b'<span class="geo" data-name="S\xc3\xa3o Paulo">b',
+        b"",
+        # ends mid-pattern; next row completes it -> concatenated buffer
+        # would contain a spurious cross-row match
+        b'tail <span class="geo" data-na',
+        b'me="Ghost"> head',
+        b'<span class="geo" data-name="K\xffv">bad-utf8 name',
+    ]
+    col = pa.array(pages, type=pa.binary())
+    rows, names = EX.extract_entities_arrow(col)
+    want = EX.extract_entities_series(pd.Series(pages))
+    flat = [(i, n) for i, lst in want.items() for n in lst]
+    assert list(zip(rows.tolist(), names)) == flat
+    assert "Ghost" not in names
+    # sliced array (non-zero offset) takes the same path
+    rows2, names2 = EX.extract_entities_arrow(col.slice(2, 3))
+    assert names2 == ["Tokyo", "São Paulo"]
+    assert rows2.tolist() == [0, 0]
+    # large_binary + chunked inputs
+    big = pa.chunked_array([pages[:3], pages[3:]], type=pa.large_binary())
+    rows3, names3 = EX.extract_entities_arrow(big)
+    assert list(zip(rows3.tolist(), names3)) == flat
