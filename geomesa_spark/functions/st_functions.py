@@ -1268,7 +1268,34 @@ def _overlay_intersection(ga, gb) -> str | None:
             # degenerate contact, or an empty interior overlap that may
             # still share boundary linework (touching operands)
             res = _areal_relate_fallback(ga, gb, "intersection") or res
+        if res is None:
+            res = _intersection_via_difference(ga, gb)
+        if res is None:
+            res = _slab_fallback(ga, gb, "intersection")
         return res
+    return None
+
+
+def _intersection_via_difference(ga, gb) -> str | None:
+    """Intersection of properly-overlapping areal operands whose direct
+    clip is degenerate: A ∩ B = A \\ (A \\ B). The inner difference
+    survives shared-edge degeneracy via half-plane decomposition; its
+    result is covered by A, so the outer difference takes the
+    covered-B boundary-rechain path — which is gated by the exact area
+    identity, so this recovers exact answers or None, never wrong ones.
+    Both operand orders are tried."""
+    for x, y in ((ga, gb), (gb, ga)):
+        d = _overlay_difference(x, y)
+        if d is None:
+            continue
+        if d.endswith(" EMPTY"):
+            return geo.wkt_any(*x)  # x ⊆ y → x ∩ y = x
+        gd = geo.parse_wkt(d)
+        if gd[0] not in _AREAL:
+            continue
+        out = _overlay_difference(x, gd)
+        if out is not None:
+            return out
     return None
 
 
@@ -1563,7 +1590,46 @@ def _boundary_rechain(ga, gb, expected_area: float) -> str | None:
         out.append((mc, mo))
     if abs(total - expected_area) > 1e-9 * max(1.0, abs(expected_area)):
         return None
-    return _polys_to_wkt(out)
+    return _wkt_roundtrip_gate(out, expected_area)
+
+
+def _wkt_roundtrip_gate(parts, expected_area: float) -> str | None:
+    """Emit WKT only if the artifact a consumer PARSES BACK reproduces
+    the expected net area. The %.10g writer rounds coordinates
+    ~1e-10-relative — normally invisible, but a sliver ring sitting
+    exactly on another ring's boundary can flip its containment depth
+    under that rounding (observed: a 0.02-area island inside a hole
+    re-reading as a hole of the outer shell, silently subtracting twice).
+    A result that is not structure-stable through the writer is refused
+    — None, never a wrong polygon."""
+    w = _polys_to_wkt(parts)
+    if w is None or w.endswith(" EMPTY"):
+        return w
+    _k2, c2, o2 = geo.parse_wkt(w)
+    if abs(_areal_area(c2, o2) - expected_area) > 1e-9 * max(1.0, abs(expected_area)):
+        return None
+    return w
+
+
+def _slab_fallback(ga, gb, op: str) -> str | None:
+    """Last-resort degenerate-contact overlay: the slab-sweep boolean
+    (functions/slab_overlay.py — trapezoidal even-odd decomposition, no
+    degeneracy special cases, area-identity gated so it can only return
+    the exact region or None). An EMPTY intersection result stays None:
+    a touching pair's true intersection may be boundary LINEWORK, which
+    the slab sweep (areal by construction) cannot see — the relate
+    fallback earlier in the chain owns that case."""
+    if ga[0] not in _AREAL or gb[0] not in _AREAL:
+        return None
+    from geomesa_spark.functions.slab_overlay import slab_boolean
+
+    out = slab_boolean(ga, gb, op)
+    if out is None:
+        return None
+    if not out:
+        return None if op == "intersection" else "POLYGON EMPTY"
+    net = sum(geo.polygon_area_deg2(mc, mo) for mc, mo in out)
+    return _wkt_roundtrip_gate(out, net)
 
 
 def _union_via_difference(ga, gb) -> str | None:
@@ -1781,6 +1847,8 @@ def _overlay_difference(ga, gb) -> str | None:
     res = _areal_difference(ga, gb)
     if res is None:
         res = _areal_relate_fallback(ga, gb, "difference")
+    if res is None:
+        res = _slab_fallback(ga, gb, "difference")
     return res
 
 
@@ -1890,6 +1958,8 @@ def _overlay_union(ga, gb) -> str | None:
             res = _areal_relate_fallback(ga, gb, "union")
         if res is None:
             res = _union_via_difference(ga, gb)
+        if res is None:
+            res = _slab_fallback(ga, gb, "union")
         return res
     # mixed dimensions (JTS semantics): the lower-dim operand survives
     # only outside the higher-dim one — GEOMETRYCOLLECTION(high, low \ high)
@@ -2112,10 +2182,10 @@ def _overlay_symdifference(ga, gb) -> str | None:
             return d
     d1 = _overlay_difference(ga, gb)
     if d1 is None:
-        return None
+        return _slab_fallback(ga, gb, "symdifference")
     d2 = _overlay_difference(gb, ga)
     if d2 is None:
-        return None
+        return _slab_fallback(ga, gb, "symdifference")
     e1 = d1.endswith(" EMPTY")
     e2 = d2.endswith(" EMPTY")
     if e1 and e2:
@@ -2124,7 +2194,10 @@ def _overlay_symdifference(ga, gb) -> str | None:
         return d2
     if e2:
         return d1
-    return _overlay_union(geo.parse_wkt(d1), geo.parse_wkt(d2))
+    out = _overlay_union(geo.parse_wkt(d1), geo.parse_wkt(d2))
+    if out is None:
+        out = _slab_fallback(ga, gb, "symdifference")
+    return out
 
 
 @F.pandas_udf(StringType())
