@@ -966,6 +966,96 @@ TUBE_RADIUS_DEG = 6.0
 TUBE_TOL_SEC = 20 * 86400
 
 
+XZ3_WIN = (-60.0, -30.0, 40.0, 40.0)          # lon0, lat0, lon1, lat1
+XZ3_T0 = 2818 * 604800 + 3 * 86400            # 2024-01 weeks 2818→2819
+XZ3_T1 = 2818 * 604800 + 10 * 86400
+
+
+@_q(
+    "xz3_window_select",
+    (
+        f"with pts as ({POINTS_SQL}), s as ("
+        "select user_id, lag(lon) over w as x1, lag(lat) over w as y1, "
+        "lon as x2, lat as y2, "
+        "lag(cast(floor(epoch(ts)) as bigint)) over w as t1, "
+        "cast(floor(epoch(ts)) as bigint) as t2 "
+        "from pts window w as (partition by user_id order by ts, pid)"
+        "), seg as (select * from s where x1 is not null "
+        "and t1 // 604800 = t2 // 604800) "
+        "select user_id, cast(count(*) as bigint) n_segments "
+        "from seg where "
+        f"least(x1, x2) <= {XZ3_WIN[2]} and greatest(x1, x2) >= {XZ3_WIN[0]} "
+        f"and least(y1, y2) <= {XZ3_WIN[3]} and greatest(y1, y2) >= {XZ3_WIN[1]} "
+        f"and t1 <= {XZ3_T1} and t2 >= {XZ3_T0} "
+        "group by user_id order by user_id"
+    ),
+)
+def q_xz3_window_select(spark, sf_dir):
+    """XZ3-indexed spatio-temporal window select over track SEGMENTS
+    (extents × duration — the non-point shapes the reference's XZ3 index
+    exists for; functions/cells.py::xz3_encode, the published SSD'99
+    XZ-ordering scheme). Per-user consecutive fixes become segments
+    (single-week ones, the XZ3 writer's per-period split contract); each
+    gets one XZ3 key; the query window's code RANGES (computed once on
+    the driver, ~100 entries) prune candidates via a vectorized
+    searchsorted inside the Arrow batch — an indexed scan, not a full
+    predicate pass — and the exact bbox × time-overlap predicate refines.
+    The superset guarantee makes the result EXACTLY the plain predicate's
+    rows, which is what the DuckDB oracle checks; the pruning itself is
+    pytest-asserted (tests/test_xz_curve.py)."""
+    from geomesa_spark.functions import cells as CE
+
+    pts = events_points(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "pid")
+    sec = F.floor(F.unix_timestamp("ts")).cast("long")
+    s = pts.select(
+        "user_id",
+        F.lag("lon").over(w).alias("x1"),
+        F.lag("lat").over(w).alias("y1"),
+        F.col("lon").alias("x2"),
+        F.col("lat").alias("y2"),
+        F.lag(sec).over(w).alias("t1"),
+        sec.alias("t2"),
+    ).where(
+        F.col("x1").isNotNull()
+        & (F.floor(F.col("t1") / 604800) == F.floor(F.col("t2") / 604800))
+    )
+    ranges = CE.xz3_ranges(*XZ3_WIN[:2], *XZ3_WIN[2:], XZ3_T0, XZ3_T1)
+    lo = np.asarray([a for a, _ in ranges], dtype=np.int64)
+    hi = np.asarray([b for _, b in ranges], dtype=np.int64)
+    order = np.argsort(lo)
+    lo, hi = lo[order], hi[order]
+
+    @F.pandas_udf("boolean")
+    def in_ranges(x1, y1, x2, y2, t1, t2):
+        keys = CE.xz3_encode(
+            np.minimum(x1.to_numpy(np.float64), x2.to_numpy(np.float64)),
+            np.minimum(y1.to_numpy(np.float64), y2.to_numpy(np.float64)),
+            np.maximum(x1.to_numpy(np.float64), x2.to_numpy(np.float64)),
+            np.maximum(y1.to_numpy(np.float64), y2.to_numpy(np.float64)),
+            t1.to_numpy(np.int64),
+            t2.to_numpy(np.int64),
+        )
+        idx = np.searchsorted(lo, keys, side="right") - 1
+        ok = (idx >= 0) & (keys <= hi[np.clip(idx, 0, len(hi) - 1)])
+        return pd.Series(ok)
+
+    cand = s.where(in_ranges("x1", "y1", "x2", "y2", "t1", "t2"))
+    refined = cand.where(
+        (F.least("x1", "x2") <= F.lit(XZ3_WIN[2]))
+        & (F.greatest("x1", "x2") >= F.lit(XZ3_WIN[0]))
+        & (F.least("y1", "y2") <= F.lit(XZ3_WIN[3]))
+        & (F.greatest("y1", "y2") >= F.lit(XZ3_WIN[1]))
+        & (F.col("t1") <= F.lit(XZ3_T1))
+        & (F.col("t2") >= F.lit(XZ3_T0))
+    )
+    return (
+        refined.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_segments"))
+        .orderBy("user_id")
+    )
+
+
 def _track_cte() -> str:
     rows = ",".join(
         f"({int(r.fix_id)},{_f(r.lon)},{_f(r.lat)},{int(r.ts_sec)})" for r in TRACK_PDF.itertuples(index=False)
@@ -3072,6 +3162,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pricing_summary",
             "dedup_exact",
             "sample_deterministic",
+            # yields the slot for xz3_window_select (new r5 operator);
+            # the track window-lag family keeps track_steps +
+            # track_clip_length in-window
+            "track_endpoints",
         )
         if n in with_oracle
     ]

@@ -381,3 +381,163 @@ def grid_cover_bbox(min_lon, min_lat, max_lon, max_lat, level: int) -> np.ndarra
     xs = np.arange(x0, x1 + 1, dtype=np.int64)
     ys = np.arange(y0, y1 + 1, dtype=np.int64)
     return (ys[:, None] * nx + xs[None, :]).ravel()
+
+
+# ---------------------------------------------------------------------------
+# XZ-ordering (extents-capable curve) — from-scratch implementation of the
+# published XZ-ordering scheme (Böhm, Klump & Kriegel, SSD'99), the curve
+# behind GeoMesa's XZ2 (2-D extents) and XZ3 (extents x time) indices
+# (upstream layout ~ geomesa-z3/.../curve/XZ2SFC.scala / XZ3SFC.scala).
+# An object's key is the sequence code of the largest quad/octree element
+# whose DOUBLED ("enlarged") cell contains the object — so every object,
+# regardless of extent, gets exactly one key, and a query enumerates the
+# code ranges of elements whose enlarged cells intersect the window
+# (a candidate SUPERSET; exact geometry refines downstream, the same
+# cover-then-refine contract as the engine's grid joins).
+# ---------------------------------------------------------------------------
+
+XZ_G = 12  # resolution (tree depth); 4^12 / 8^12 elements at the bottom
+
+
+def _xz_length(mins: np.ndarray, maxs: np.ndarray, g: int) -> np.ndarray:
+    """Per-object element depth: the deepest level whose enlarged cell
+    still contains the [mins, maxs] box (dims stacked on axis 0, values
+    normalized to [0, 1])."""
+    w = np.clip((maxs - mins).max(axis=0), 1e-300, 1.0)
+    l1 = np.floor(np.log(w) / np.log(0.5)).astype(np.int64)
+    l1 = np.clip(l1, 0, g)
+    w2 = np.power(0.5, (l1 + 1).astype(np.float64))
+    fits = np.ones(mins.shape[1], dtype=bool)
+    for d in range(mins.shape[0]):
+        fits &= maxs[d] <= np.floor(mins[d] / w2) * w2 + 2.0 * w2
+    return np.where((l1 < g) & fits, l1 + 1, l1)
+
+
+def _xz_sequence_code(mins: np.ndarray, length: np.ndarray, g: int, dims: int) -> np.ndarray:
+    """Sequence code of the element anchored at each object's min corner,
+    descending `length` levels (vectorized over objects)."""
+    base = 1 << dims  # 4 for XZ2, 8 for XZ3
+    cs = np.zeros(mins.shape[1], dtype=np.int64)
+    lo = np.zeros_like(mins)
+    hi = np.ones_like(mins)
+    for i in range(int(length.max()) if len(length) else 0):
+        active = i < length
+        mid = (lo + hi) / 2.0
+        q = np.zeros(mins.shape[1], dtype=np.int64)
+        for d in range(dims):
+            upper = mins[d] >= mid[d]
+            q |= upper.astype(np.int64) << d
+            lo[d] = np.where(upper, mid[d], lo[d])
+            hi[d] = np.where(upper, hi[d], mid[d])
+        step = (base ** (g - i) - 1) // (base - 1)
+        cs = np.where(active, cs + 1 + q * step, cs)
+    return cs
+
+
+def xz2_encode(min_lon, min_lat, max_lon, max_lat, g: int = XZ_G) -> np.ndarray:
+    """XZ2 key (int64) for 2-D extents (bounding boxes of non-point
+    geometries). Point inputs (min == max) work too."""
+    nx = (np.asarray(min_lon, dtype=np.float64) + 180.0) / 360.0
+    ny = (np.asarray(min_lat, dtype=np.float64) + 90.0) / 180.0
+    mx = (np.asarray(max_lon, dtype=np.float64) + 180.0) / 360.0
+    my = (np.asarray(max_lat, dtype=np.float64) + 90.0) / 180.0
+    mins = np.clip(np.stack([nx, ny]), 0.0, 1.0)
+    maxs = np.clip(np.stack([mx, my]), 0.0, 1.0)
+    length = _xz_length(mins, maxs, g)
+    return _xz_sequence_code(mins, length, g, 2)
+
+
+def xz3_encode(min_lon, min_lat, max_lon, max_lat, t_min_s, t_max_s, g: int = XZ_G) -> np.ndarray:
+    """XZ3 key (int64) for extents x time: the composite spatio-temporal
+    key for non-point geometries with a duration. Time binned into weekly
+    periods (the Z3 convention); the period rides in the high 40+ bits so
+    keys cluster by week then by curve locality. Objects must lie within
+    one period — callers split longer intervals per period, exactly as
+    the reference's XZ3 writer does."""
+    t0 = np.asarray(t_min_s, dtype=np.int64)
+    t1 = np.asarray(t_max_s, dtype=np.int64)
+    week = t0 // SECONDS_PER_WEEK
+    f0 = (t0 - week * SECONDS_PER_WEEK).astype(np.float64) / SECONDS_PER_WEEK
+    f1 = np.clip(
+        (t1 - week * SECONDS_PER_WEEK).astype(np.float64) / SECONDS_PER_WEEK, 0.0, 1.0
+    )
+    nx = (np.asarray(min_lon, dtype=np.float64) + 180.0) / 360.0
+    ny = (np.asarray(min_lat, dtype=np.float64) + 90.0) / 180.0
+    mx = (np.asarray(max_lon, dtype=np.float64) + 180.0) / 360.0
+    my = (np.asarray(max_lat, dtype=np.float64) + 90.0) / 180.0
+    mins = np.clip(np.stack([nx, ny, f0]), 0.0, 1.0)
+    maxs = np.clip(np.stack([mx, my, f1]), 0.0, 1.0)
+    length = _xz_length(mins, maxs, g)
+    cs = _xz_sequence_code(mins, length, g, 3)
+    return ((week.astype(np.int64)) << 44) | cs
+
+
+def _xz_ranges(
+    qmins, qmaxs, g: int, dims: int, max_level: int = 7
+) -> list[tuple[int, int]]:
+    """Candidate code ranges for a query window (normalized [0,1]^dims):
+    recursive tree descent — an element whose ENLARGED cell is contained
+    in the window contributes its whole subtree range; one that merely
+    intersects contributes itself and recurses. Recursion caps at
+    ``max_level`` (window-BOUNDARY elements grow as (2^level)^(dims-1),
+    so uncapped descent to g=12 explodes; boundary elements at the cap
+    emit their whole subtree — an over-covering range, the same
+    precision/range-count trade the reference's curve makes). Superset
+    guarantee either way: any object intersecting the window has a key
+    inside some range."""
+    base = 1 << dims
+    out: list[tuple[int, int]] = []
+
+    def rec(code: int, lo: list[float], size: float, level: int) -> None:
+        # enlarged cell = [lo, lo + 2*size) per dim
+        for d in range(dims):
+            if qmins[d] >= lo[d] + 2 * size or qmaxs[d] <= lo[d]:
+                return  # disjoint from every object stored here
+        contained = all(
+            lo[d] >= qmins[d] and lo[d] + 2 * size <= qmaxs[d] for d in range(dims)
+        )
+        interval = (base ** (g - level + 1) - 1) // (base - 1) - 1
+        if contained or level >= min(g, max_level):
+            out.append((code, code + interval))
+            return
+        out.append((code, code))  # the element itself holds large objects
+        step = (base ** (g - level) - 1) // (base - 1)
+        for q in range(base):
+            child_lo = [
+                lo[d] + (size / 2.0 if (q >> d) & 1 else 0.0) for d in range(dims)
+            ]
+            rec(code + 1 + q * step, child_lo, size / 2.0, level + 1)
+
+    rec(0, [0.0] * dims, 1.0, 0)
+    # root code 0 duplicates: merge adjacent/overlapping ranges
+    out.sort()
+    merged: list[tuple[int, int]] = []
+    for a, b in out:
+        if merged and a <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], b))
+        else:
+            merged.append((a, b))
+    return merged
+
+
+def xz2_ranges(min_lon, min_lat, max_lon, max_lat, g: int = XZ_G) -> list[tuple[int, int]]:
+    q0 = [(min_lon + 180.0) / 360.0, (min_lat + 90.0) / 180.0]
+    q1 = [(max_lon + 180.0) / 360.0, (max_lat + 90.0) / 180.0]
+    return _xz_ranges(q0, q1, g, 2)
+
+
+def xz3_ranges(
+    min_lon, min_lat, max_lon, max_lat, t_min_s, t_max_s, g: int = XZ_G
+) -> list[tuple[int, int]]:
+    """Ranges per overlapped weekly period (period in the key's high bits)."""
+    w0 = int(t_min_s) // SECONDS_PER_WEEK
+    w1 = int(t_max_s) // SECONDS_PER_WEEK
+    out: list[tuple[int, int]] = []
+    for w in range(w0, w1 + 1):
+        f0 = max(0.0, (t_min_s - w * SECONDS_PER_WEEK) / SECONDS_PER_WEEK)
+        f1 = min(1.0, (t_max_s - w * SECONDS_PER_WEEK) / SECONDS_PER_WEEK)
+        q0 = [(min_lon + 180.0) / 360.0, (min_lat + 90.0) / 180.0, f0]
+        q1 = [(max_lon + 180.0) / 360.0, (max_lat + 90.0) / 180.0, f1]
+        hi = w << 44
+        out.extend((hi | a, hi | b) for a, b in _xz_ranges(q0, q1, XZ_G, 3))
+    return out
