@@ -83,7 +83,25 @@ def _trace_faces(pieces: list, tol: float):
     left). Containment parity downstream re-derives shells vs holes.
     Returns None on unbalanced nodes or exact angular ties (ambiguous
     input — honesty over guessing)."""
-    snap = lambda p: (round(float(p[0]) / tol) * tol, round(float(p[1]) / tol) * tol)
+    # neighbor-aware node pooling, NOT bare grid rounding: two endpoints
+    # 1e-12 apart can straddle a grid boundary and round to different
+    # cells (observed: 0.288228115 vs ...1160 → an unbalanced node and a
+    # refused graph). The pool reuses any existing node within tol by
+    # checking the 3x3 neighboring grid cells.
+    pool: dict = {}
+
+    def snap(p):
+        x, y = float(p[0]), float(p[1])
+        gx, gy = round(x / tol), round(y / tol)
+        for dx in (0, -1, 1):
+            for dy in (0, -1, 1):
+                q = pool.get((gx + dx, gy + dy))
+                if q is not None and abs(q[0] - x) <= tol and abs(q[1] - y) <= tol:
+                    return q
+        q = (x, y)
+        pool[(gx, gy)] = q
+        return q
+
     edges: list = []  # directed (tail_key, head_key)
     for seg in pieces:
         a, b = snap(seg[0]), snap(seg[-1])
