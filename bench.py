@@ -345,7 +345,7 @@ def run_scaling() -> tuple[dict | None, dict]:
     use_pin = os.environ.get("SPARK_GRAFT_SCALING_PIN", "1") != "0" and shutil.which(
         "taskset"
     )
-    for p in range(int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "2"))):
+    for p in range(int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "3"))):
         res: dict = {}
         for cpus in (2, 8):
             # Pin the WHOLE process tree (JVM + forked python workers)

@@ -3127,15 +3127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # knn_crossjoin ≡ knn_expand_ring (same oracle by
             # construction); pip_count_salted shares its output with
             # pip_count_broadcast/auto (the salted plan flip is
-            # pytest-asserted); minhash_signatures / simhash_fingerprints
-            # are the signature stages of the lsh/neardup pair queries in
-            # the window; dedup_jaccard is the documented brute twin of
-            # the MinHash path; doc_fingerprints is a single md5
-            # projection.
-            "doc_fingerprints",
-            "minhash_signatures",
-            "simhash_fingerprints",
-            "dedup_jaccard",
+            # pytest-asserted).
             "pip_count_salted",
             "knn_crossjoin",
             # (b) r1-r3-green veterans rotated out in round 4 (their code
@@ -3163,9 +3155,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_exact",
             "sample_deterministic",
             # yields the slot for xz3_window_select (new r5 operator);
-            # the track window-lag family keeps track_steps +
-            # track_clip_length in-window
+            # the track window-lag family keeps track_clip_length in-window
             "track_endpoints",
+            # (d) round-5 verdict ask #5: the four class-(a) twins that
+            # have NEVER received a driver stamp (doc_fingerprints,
+            # minhash_signatures, simhash_fingerprints, dedup_jaccard)
+            # get first-time slots; four more multi-round-green veterans
+            # yield — each with an in-window sibling covering the code
+            # path (track_clip_length for track_steps' lag window,
+            # top_customers_per_nation + regional_supplier_revenue for
+            # revenue_by_nation's equi-join family, tile_counts/rollup
+            # for density_grid's grid binning, track/xz3 window family
+            # for latest_per_user's ranking window).
+            "track_steps",
+            "revenue_by_nation",
+            "density_grid",
+            "latest_per_user",
         )
         if n in with_oracle
     ]
