@@ -568,6 +568,43 @@ def _edge_midpoints(coords, ring_offsets):
     return (x1 + x2) / 2.0, (y1 + y2) / 2.0
 
 
+def _contact_interval_samples(coords, ring_offsets, other_pts):
+    """Midpoints of every interval between consecutive contact
+    parameters along each edge of (coords, ring_offsets), where a
+    contact parameter is an ``other_pts`` vertex lying ON the edge.
+    Along an edge, classification against the other polygon can change
+    only at such points (with proper crossings excluded), so these
+    samples make vertex+midpoint boundary sampling exact under
+    degenerate contact — e.g. when every plain sample lands ON the
+    other's boundary and misses an interior escape between two of its
+    vertices. Every returned point lies on this geometry's boundary by
+    construction, so extra samples are always sound."""
+    pts = np.asarray(other_pts, dtype=np.float64)
+    ex: list = []
+    ey: list = []
+    for r in range(len(ring_offsets) - 1):
+        ring = np.asarray(coords[ring_offsets[r]:ring_offsets[r + 1]], dtype=np.float64)
+        for e in range(len(ring) - 1):
+            p, q = ring[e], ring[e + 1]
+            d = q - p
+            l2 = float(d @ d)
+            if l2 == 0.0:
+                continue
+            vx = pts[:, 0] - p[0]
+            vy = pts[:, 1] - p[1]
+            crs = d[0] * vy - d[1] * vx
+            t = (vx * d[0] + vy * d[1]) / l2
+            on = (np.abs(crs) < 1e-12 * np.sqrt(l2)) & (t > 1e-12) & (t < 1 - 1e-12)
+            if not on.any():
+                continue
+            ts = sorted({0.0, 1.0, *np.round(t[on], 15).tolist()})
+            for a0, a1 in zip(ts[:-1], ts[1:]):
+                tm = (a0 + a1) / 2.0
+                ex.append(p[0] + tm * d[0])
+                ey.append(p[1] + tm * d[1])
+    return np.asarray(ex), np.asarray(ey)
+
+
 def _normalize_ring(ring: np.ndarray) -> tuple:
     """Canonical form of a closed ring: drop the duplicate endpoint,
     orient CCW (shoelace), rotate to start at the lexicographic min."""
@@ -897,6 +934,18 @@ def relate_geoms(ka, ca, oa, kb, cb, ob) -> Relate:
     sbx = np.concatenate([cb[:, 0], mbx]); sby = np.concatenate([cb[:, 1], mby])
 
     if poly_like(ka) and poly_like(kb):
+        if touch or col_overlap:
+            # degenerate contact: plain samples can ALL land on the
+            # other's boundary while an interior escape hides between
+            # two of its vertices — add contact-interval midpoints
+            ax2, ay2 = _contact_interval_samples(ca, oa, cb)
+            if len(ax2):
+                sax = np.concatenate([sax, ax2])
+                say = np.concatenate([say, ay2])
+            bx2, by2 = _contact_interval_samples(cb, ob, ca)
+            if len(bx2):
+                sbx = np.concatenate([sbx, bx2])
+                sby = np.concatenate([sby, by2])
         cls_b_in_a = classify_points_in_polygon(sbx, sby, ca, oa)
         cls_a_in_b = classify_points_in_polygon(sax, say, cb, ob)
         a_sample_in = (cls_a_in_b == 2).any()
@@ -1436,10 +1485,15 @@ def multipolygon_parts(coords: np.ndarray, ring_offsets: np.ndarray) -> list[tup
     rings = [coords[ring_offsets[r]:ring_offsets[r + 1]] for r in range(nrings)]
     containers: list[list[int]] = [[] for _ in range(nrings)]
     for i in range(nrings):
-        # majority vote over the ring's vertices (strict-in vs strict-out;
-        # boundary votes abstain) — robust when a hole touches its shell
-        # at some vertex, where single-point parity is arbitrary
-        px, py = rings[i][:-1, 0], rings[i][:-1, 1]
+        # majority vote over the ring's vertices AND edge midpoints
+        # (strict-in vs strict-out; boundary votes abstain) — robust when
+        # a hole touches its shell at vertices, where single-point parity
+        # is arbitrary. Midpoints matter: a hole ALL of whose vertices
+        # are pinch points on the shell (symdifference's union-with-
+        # intersection-hole form) gets zero vertex votes, and without
+        # midpoints it would orphan into its own filled shell.
+        px = np.concatenate([rings[i][:-1, 0], (rings[i][:-1, 0] + rings[i][1:, 0]) / 2.0])
+        py = np.concatenate([rings[i][:-1, 1], (rings[i][:-1, 1] + rings[i][1:, 1]) / 2.0])
         for j in range(nrings):
             if i == j:
                 continue

@@ -1355,18 +1355,46 @@ def _gc_parts_interior_disjoint(parts: list) -> bool:
     return True
 
 
+def _clean_ring(ring) -> np.ndarray | None:
+    """Drop consecutive duplicate vertices (exact equality) and re-close;
+    None when fewer than 3 distinct vertices remain — a ring like
+    (p, q, p) encloses EXACTLY zero area, so dropping it is exact, not
+    an approximation. Upstream overlays can emit such slivers under
+    degenerate contact (observed: ((0 7, 8.9e-16 7, 0 7)) from an
+    intersection), and the ring-pair kernels downstream choke on
+    zero-length edges."""
+    ring = np.asarray(ring, dtype=np.float64)
+    keep = np.ones(len(ring), dtype=bool)
+    keep[1:] = (ring[1:] != ring[:-1]).any(axis=1)
+    ring = ring[keep]
+    if len(ring) == 0:
+        return None
+    if (ring[0] != ring[-1]).any():
+        ring = np.vstack([ring, ring[:1]])
+    if len(np.unique(ring[:-1], axis=0)) < 3:
+        return None
+    return ring
+
+
 def _areal_members(kind, coords, offs) -> list | None:
     """(MULTI)POLYGON members as (shell_ring, [hole_ring, ...]) with all
-    rings closed and CCW-normalized; None for non-polygonal parts."""
+    rings closed, consecutive-duplicate-free, and CCW-normalized; None
+    for non-polygonal parts. Members with a degenerate (<3 distinct
+    vertices ⇒ exactly zero area) shell are dropped, as are degenerate
+    hole rings."""
     out = []
     for k2, c2, o2 in geo.geom_parts(kind, coords, offs):
         if k2 != "POLYGON":
             return None
-        shell = geo._ccw_ring(np.asarray(c2[o2[0]:o2[1]], dtype=np.float64))
-        holes = [
-            geo._ccw_ring(np.asarray(c2[o2[i]:o2[i + 1]], dtype=np.float64))
-            for i in range(1, len(o2) - 1)
-        ]
+        shell = _clean_ring(c2[o2[0]:o2[1]])
+        if shell is None:
+            continue
+        shell = geo._ccw_ring(shell)
+        holes = []
+        for i in range(1, len(o2) - 1):
+            h = _clean_ring(c2[o2[i]:o2[i + 1]])
+            if h is not None:
+                holes.append(geo._ccw_ring(h))
         out.append((shell, holes))
     return out
 
@@ -1446,8 +1474,29 @@ def _region_subtract_ring(pieces, r, pair_diff=None) -> list | None:
             # of KEPT area, re-emitted as their own pieces).
             if geo.classify_points_in_polygon(shell[:1, 0], shell[:1, 1], rr, r_off)[0] == 2:
                 continue  # r swallows the piece entirely
+            # r's boundary provably never meets the shell's boundary
+            # (exact segment matrices above) and r does not swallow the
+            # piece, so r lies strictly on ONE side of the shell.
+            # _piece_contact can still route a fully-OUTSIDE r here when
+            # one sample sits ~1e-16 from a shell edge and classifies
+            # inside (observed: a hole corner 8.9e-16 off a -2/3-slope
+            # edge). A majority vote of r's strict samples vs the shell
+            # alone decides the true side; punching an outside r as a
+            # hole flips every even-odd reader over r's whole area.
+            rx = np.concatenate([rr[:-1, 0], (rr[:-1, 0] + rr[1:, 0]) / 2.0])
+            ry = np.concatenate([rr[:-1, 1], (rr[:-1, 1] + rr[1:, 1]) / 2.0])
+            rcls = geo.classify_points_in_polygon(
+                rx, ry, np.asarray(shell, dtype=np.float64), np.asarray([0, len(shell)])
+            )
+            n_in, n_out = int((rcls == 2).sum()), int((rcls == 0).sum())
+            if n_in == n_out:
+                return None  # genuinely ambiguous: honest null, never a guess
+            if n_in < n_out:
+                out.append((c2, o2))  # r outside the shell: piece untouched
+                continue
             touching: list = []
             kept: list = []
+            r_in_kept_hole = False
             for h in _piece_holes(c2, o2):
                 hp, ht, hv = geo.segment_contact_matrices(geo.line_edges(h), geo.line_edges(rr))
                 if hp.any() or ht.any() or hv.any():
@@ -1456,6 +1505,16 @@ def _region_subtract_ring(pieces, r, pair_diff=None) -> list | None:
                     continue  # hole swallowed by r
                 else:
                     kept.append(h)
+                    # r nested inside this hole ⇒ r ∩ piece = ∅ (punching
+                    # it would nest rings and flip parity back to solid)
+                    hcls = geo.classify_points_in_polygon(
+                        rx, ry, np.asarray(h, dtype=np.float64), np.asarray([0, len(h)])
+                    )
+                    if int((hcls == 2).sum()) > int((hcls == 0).sum()):
+                        r_in_kept_hole = True
+            if r_in_kept_hole:
+                out.append((c2, o2))
+                continue
             merged = _shell_union([rr], touching)
             if merged is None:
                 return None
@@ -1892,31 +1951,66 @@ def _piece_contact(c2, o2, b2) -> str:
     area, relate, further overlays) treat the pinched form exactly;
     component splitting is not implemented."""
     b = np.asarray(b2, dtype=np.float64)
+    c = np.asarray(c2, dtype=np.float64)
     proper, touch, overlap = geo.segment_contact_matrices(
-        geo.line_edges(b), geo.polygon_edges(np.asarray(c2, dtype=np.float64), np.asarray(o2))
+        geo.line_edges(b), geo.polygon_edges(c, np.asarray(o2))
     )
     if proper.any() or overlap.any():
         return "interacting"
     sx = b[:-1, 0]
     sy = b[:-1, 1]
     if touch.any():
-        mx = (b[:-1, 0] + b[1:, 0]) / 2.0
-        my = (b[:-1, 1] + b[1:, 1]) / 2.0
-        sx = np.concatenate([sx, mx])
-        sy = np.concatenate([sy, my])
+        # b2 can thread THROUGH the piece between touch points
+        # (corner-to-corner slicing), and a touch point can BE an edge
+        # midpoint — so per touching edge, sample the midpoint of every
+        # interval between consecutive contact parameters (piece
+        # vertices on the edge, plus the endpoints). Every sample lies
+        # on b2's boundary by construction, so extra samples are always
+        # sound; missing ones are what made a slicing edge read
+        # 'disjoint'.
+        ex, ey = [], []
+        pv = c[np.concatenate([np.arange(o2[r], o2[r + 1] - 1) for r in range(len(o2) - 1)])]
+        for e in range(len(b) - 1):
+            p, q = b[e], b[e + 1]
+            d = q - p
+            l2 = float(d @ d)
+            if l2 == 0.0:
+                continue
+            vx = pv[:, 0] - p[0]
+            vy = pv[:, 1] - p[1]
+            crs = d[0] * vy - d[1] * vx
+            t = (vx * d[0] + vy * d[1]) / l2
+            on = (np.abs(crs) < 1e-12 * np.sqrt(l2)) & (t > 1e-12) & (t < 1 - 1e-12)
+            ts = sorted({0.0, 1.0, *np.round(t[on], 15).tolist()})
+            for a0, a1 in zip(ts[:-1], ts[1:]):
+                tm = (a0 + a1) / 2.0
+                ex.append(p[0] + tm * d[0])
+                ey.append(p[1] + tm * d[1])
+        sx = np.concatenate([sx, np.asarray(ex)])
+        sy = np.concatenate([sy, np.asarray(ey)])
     cls = geo.classify_points_in_polygon(sx, sy, c2, o2)
-    c = np.asarray(c2, dtype=np.float64)
     b_off = np.asarray([0, len(b)])
+
+    def _piece_in_b2() -> bool:
+        # majority vote over the piece's shell vertices AND edge
+        # midpoints (a single first-vertex probe is arbitrary when it
+        # sits ON b2's boundary)
+        shell = c[o2[0]:o2[1]]
+        qx = np.concatenate([shell[:-1, 0], (shell[:-1, 0] + shell[1:, 0]) / 2.0])
+        qy = np.concatenate([shell[:-1, 1], (shell[:-1, 1] + shell[1:, 1]) / 2.0])
+        qc = geo.classify_points_in_polygon(qx, qy, b, b_off)
+        return int((qc == 2).sum()) > int((qc == 0).sum())
+
     if (cls != 0).all():
         # all samples inside-or-boundary: b2 ⊆ closure(piece) — unless
         # the piece ALSO sits inside b2 (mutual: genuinely interacting)
-        if geo.classify_points_in_polygon(c[:1, 0], c[:1, 1], b, b_off)[0] == 2:
+        if _piece_in_b2():
             return "interacting"
         return "interior"
     if (cls != 2).all():
         # all samples outside-or-boundary — unless the PIECE is inside
         # b2 (b2 swallows the piece: a real subtraction, not disjoint)
-        if geo.classify_points_in_polygon(c[:1, 0], c[:1, 1], b, b_off)[0] == 2:
+        if _piece_in_b2():
             return "interacting"
         return "disjoint"
     return "interacting"

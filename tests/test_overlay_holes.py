@@ -473,3 +473,165 @@ def test_symdifference():
         assert _result_area(w) == pytest.approx(aa + ab - 2 * ii, rel=1e-8, abs=1e-8)
         ok += 1
     assert ok > 40 and skip < 15
+
+
+def test_difference_near_touch_hole_stays_outside():
+    """Regression (round-5 MC audit): subtracting B split A into pieces
+    whose edge passed 8.9e-16 from A's hole corner; the exact contact
+    matrices saw no touch while the corner SAMPLE classified inside, and
+    the no-shell-contact branch punched the (fully outside) hole into
+    that piece — flipping every even-odd reader over the hole's area.
+    The majority-vote side test now leaves the piece untouched."""
+    A = geo.parse_wkt(
+        "POLYGON ((-1 -3, 6 2, 3 5, 0 5, -2 4, -1 -3), "
+        "(-0 1, 1.5 1, 1.5 2.5, -0 2.5, -0 1))"
+    )
+    B = geo.parse_wkt(
+        "POLYGON ((-5 -3, -4 -5, -1 -6, 1 -6, 4 -4, 2 2, 1 3, -5 -3), "
+        "(-0.5 -3.5, 1 -3.5, 1 -1.5, -0.5 -1.5, -0.5 -3.5))"
+    )
+    w = stf._overlay_difference(A, B)
+    assert w is not None
+    gr = geo.parse_wkt(w)
+    # the witness probe sits inside A's hole (not in A) — it must not be
+    # claimed by the result
+    assert not _member(np.asarray([[0.054637148676818, 1.7950678412809822]]), *gr)[0]
+    # full Monte-Carlo membership equivalence on a deterministic grid
+    rng = np.random.default_rng(7)
+    probes = np.column_stack([rng.uniform(-6, 7, 4000), rng.uniform(-7, 6, 4000)])
+    near = _near_any_edge(probes, [A, B, gr], tol=1e-9)
+    in_a, in_b, in_r = _member(probes, *A), _member(probes, *B), _member(probes, *gr)
+    assert not ((in_r != (in_a & ~in_b)) & ~near).any()
+    # point-set area == inclusion-exclusion identity
+    inter = stf._overlay_intersection(A, B)
+    assert _result_area(w) == pytest.approx(_geom_area(A) - _result_area(inter), rel=1e-9)
+
+
+def test_symdifference_pinch_vertex_hole_grouping():
+    """Regression (round-5 MC audit): A Δ B in the union-with-
+    intersection-hole form yields a hole ALL of whose vertices are pinch
+    points ON the union shell. multipolygon_parts' vertex-only
+    containment vote then fully abstained and orphaned the hole into its
+    own filled shell — doubling the intersection region for any
+    part-union reader. Edge midpoints now vote too."""
+    A = geo.parse_wkt(
+        "POLYGON ((4.216012079 2.137448752, 3.703435706 2.595488684, "
+        "-0.1879512167 2.638832547, -0.7326042607 2.169027258, "
+        "1.253003475 -3.466624011, 4.216012079 2.137448752), "
+        "(0.4073813638 0.09805368557, 1.615676706 0.09805368557, "
+        "1.615676706 1.306349028, 0.4073813638 1.306349028, "
+        "0.4073813638 0.09805368557))"
+    )
+    B = geo.parse_wkt(
+        "POLYGON ((1.245416066 3.367876862, -2.38299289 0.5541000034, "
+        "-2.437214609 0.2649433219, -2.443646673 0.2187577455, "
+        "-2.213620291 -1.611000588, 3.392063697 -3.112136974, "
+        "1.245416066 3.367876862), "
+        "(0.8906103919 -0.7688997976, 2.022109951 -0.7688997976, "
+        "2.022109951 0.3625997613, 0.8906103919 0.3625997613, "
+        "0.8906103919 -0.7688997976))"
+    )
+    w = stf._overlay_symdifference(A, B)
+    assert w is not None
+    gr = geo.parse_wkt(w)
+    # witness probe inside A∩B: symdiff must exclude it
+    assert not _member(np.asarray([[1.8428259982501487, -2.259192367505113]]), *gr)[0]
+    rng = np.random.default_rng(8)
+    probes = np.column_stack([rng.uniform(-3, 5, 4000), rng.uniform(-4, 4, 4000)])
+    near = _near_any_edge(probes, [A, B, gr], tol=1e-9)
+    in_a, in_b, in_r = _member(probes, *A), _member(probes, *B), _member(probes, *gr)
+    assert not ((in_r != (in_a ^ in_b)) & ~near).any()
+    inter = stf._overlay_intersection(A, B)
+    assert _result_area(w) == pytest.approx(
+        _geom_area(A) + _geom_area(B) - 2 * _result_area(inter), rel=1e-9
+    )
+
+
+def test_union_hole_partially_covered_by_other_operand():
+    """Regression (round-5 MC audit): A's boundary sliced through B's
+    hole purely via touch contacts (edge through one hole corner, a
+    vertex ON the opposite hole edge) — the touch point WAS the edge
+    midpoint, so _piece_contact's midpoint sampling saw only boundary/
+    outside samples and declared 'disjoint', keeping B's hole whole in
+    A ∪ B even though A covers part of it. Contact-interval sampling
+    now threads between touch points."""
+    A = geo.parse_wkt(
+        "POLYGON ((-3 -1, 0 -4, 1 -3, 1 2, -1 2, -3 1, -3 -1), "
+        "(-1 -0.5, -0 -0.5, -0 0.5, -1 0.5, -1 -0.5))"
+    )
+    B = geo.parse_wkt(
+        "POLYGON ((-6 2, -6 -0, 3 2, 3 3, -1 6, -6 2), "
+        "(-2 1.5, -1 1.5, -1 2.5, -2 2.5, -2 1.5))"
+    )
+    w = stf._overlay_union(A, B)
+    assert w is not None
+    gr = geo.parse_wkt(w)
+    # witness: inside B's hole but covered by A — the union must keep it
+    assert _member(np.asarray([[-1.5, 1.6]]), *gr)[0]
+    rng = np.random.default_rng(5)
+    probes = np.column_stack([rng.uniform(-7, 4, 4000), rng.uniform(-5, 7, 4000)])
+    near = _near_any_edge(probes, [A, B, gr], tol=1e-9)
+    in_a, in_b, in_r = _member(probes, *A), _member(probes, *B), _member(probes, *gr)
+    assert not ((in_r != (in_a | in_b)) & ~near).any()
+    inter = stf._overlay_intersection(A, B)
+    assert _result_area(w) == pytest.approx(
+        _geom_area(A) + _geom_area(B) - _result_area(inter), rel=1e-9
+    )
+
+
+def test_relate_covers_notch_between_contact_vertices():
+    """Regression (round-5 MC audit): D = C \\ notch shares every vertex
+    and edge-midpoint sample of C's boundary, so relate_geoms declared
+    D ⊇ C (every sample ON D's boundary), de9im read IE='F', and the
+    covered-difference fast path answered C \\ D = EMPTY — losing the
+    notch. Contact-interval sampling now threads between the other
+    polygon's on-edge vertices."""
+    C = geo.parse_wkt(
+        "POLYGON ((3 5, 5 5, 9 5, 9 6, 5 6, 5 8, 3 8, 3 6, 0 6, 0 5, 3 5))"
+    )
+    D = geo.parse_wkt(
+        "MULTIPOLYGON (((0 5, 3 5, 3 6, 0 6, 0 5)), "
+        "((3 7, 4 7, 4 5, 5 5, 9 5, 9 6, 5 6, 5 8, 4 8, 3 8, 3 7)))"
+    )
+    m = geo.relate_geoms(*C, *D)
+    assert not geo.pred_covered_by(m)  # C has interior outside D (the notch)
+    assert geo.de9im(m)[2] == "2"  # I(C) ∩ E(D) is the 2-D notch
+    # end-to-end: the GC-with-overlapping-members intersection that
+    # exposed it (was POLYGON EMPTY; truth is the 1x2 notch rect)
+    A = geo.parse_wkt(
+        "GEOMETRYCOLLECTION (POLYGON ((3 5, 5 5, 5 8, 3 8, 3 5)), "
+        "POLYGON ((0 5, 9 5, 9 6, 0 6, 0 5)))"
+    )
+    B = geo.parse_wkt("POLYGON ((3 1, 4 1, 4 7, 3 7, 3 1))")
+    w = stf._overlay_intersection(A, B)
+    assert w is not None and not w.endswith("EMPTY")
+    assert _result_area(w) == pytest.approx(2.0)
+    gr = geo.parse_wkt(w)
+    assert _member(np.asarray([[3.5, 5.5]]), *gr)[0]
+
+
+def test_symdifference_shared_edge_chain_degenerate_slivers():
+    """Regression (round-5 MC audit): operands sharing a two-edge
+    boundary chain made the intersection emit an exactly-zero-area
+    sliver ring and duplicate consecutive vertices; the u \\ i subtract
+    kernels then exploded into 29 overlapping pieces (24% probe
+    mismatch). _areal_members now drops degenerate rings exactly."""
+    A = geo.parse_wkt(
+        "POLYGON ((-6 1, -5 -2, -4 -3, -2 -4, 6 4, 5 5, -1 8, -6 1), "
+        "(-1.5 0, 0 0, 0 2, -1.5 2, -1.5 0))"
+    )
+    B = geo.parse_wkt(
+        "POLYGON ((-5 -2, -4 -3, -2 -4, -0 7, -2 7, -6 3, -5 -2))"
+    )
+    w = stf._overlay_symdifference(A, B)
+    assert w is not None
+    gr = geo.parse_wkt(w)
+    rng = np.random.default_rng(13)
+    probes = np.column_stack([rng.uniform(-7, 7, 4000), rng.uniform(-5, 9, 4000)])
+    near = _near_any_edge(probes, [A, B, gr], tol=1e-9)
+    in_a, in_b, in_r = _member(probes, *A), _member(probes, *B), _member(probes, *gr)
+    assert not ((in_r != (in_a ^ in_b)) & ~near).any()
+    inter = stf._overlay_intersection(A, B)
+    assert _result_area(w) == pytest.approx(
+        _geom_area(A) + _geom_area(B) - 2 * _result_area(inter), rel=1e-9
+    )
