@@ -767,6 +767,27 @@ def _capsule(p, q, r: float, s: int, idx: int) -> np.ndarray:
     return np.asarray(pts, dtype=np.float64)
 
 
+def _ring_union_fallback(all_rings: list) -> list | None:
+    """Union of hole-free rings for _buffer_geom when _shell_union's GH
+    fold refuses (crossing capsules from a self-intersecting polyline):
+    fold pairwise through the full _overlay_union ladder (GH → DE-9IM
+    rechain → slab-sweep boolean), whose every rung is gated by exact
+    area/round-trip identities. Returns a disjoint piece list in
+    _shell_union's format, or None (honest null)."""
+    cur = ("POLYGON", np.asarray(all_rings[0], dtype=np.float64),
+           np.asarray([0, len(all_rings[0])]))
+    for r in all_rings[1:]:
+        rp = ("POLYGON", np.asarray(r, dtype=np.float64), np.asarray([0, len(r)]))
+        w = _overlay_union(cur, rp)
+        if w is None or w.endswith(" EMPTY"):
+            return None
+        cur = geo.parse_wkt(w)
+    m = _areal_members(*cur)
+    if m is None:
+        return None
+    return [_member_piece(s, h) for s, h in m]
+
+
 def _buffer_geom(ga, radius: float, segments: int = 8) -> str | None:
     """PLANAR buffer (degrees — the unit convention of the st_* planar
     relate/overlay surface; st_bufferPoint remains the geodesic-meters
@@ -960,6 +981,13 @@ def _buffer_geom(ga, radius: float, segments: int = 8) -> str | None:
     if not all_rings:
         return None
     parts = _shell_union([all_rings[0]], all_rings[1:])
+    if parts is None:
+        # the GH fold refuses crossing capsules (a self-crossing
+        # polyline buffers its own path twice); fold through the full
+        # _overlay_union ladder instead — every rung down to the
+        # slab-sweep boolean is gated by exact identities, so this
+        # recovers the union or stays honest null, never approximates
+        parts = _ring_union_fallback(all_rings)
     if parts is None:
         return None
     res: list | None = parts

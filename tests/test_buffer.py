@@ -252,3 +252,24 @@ def test_buffer_spiked_ring_honest_null():
     g = geo.parse_wkt("POLYGON ((0 0, 4 0, 4 2, 2 2, 2 3, 2 2, 0 2, 0 0))")
     assert stf._buffer_geom(g, 0.1) is None
     assert stf._buffer_geom(g, -0.1) is None
+
+
+def test_buffer_self_crossing_polyline():
+    """Round-5: a self-intersecting polyline's capsules cross each other,
+    which the _shell_union GH fold refuses (was honest null ~20% of
+    random zig-zags). _ring_union_fallback now folds the capsules
+    through the full _overlay_union ladder (slab-sweep terminal rung,
+    exact-identity gated). Distance-field equivalence on the audit's
+    first previously-null input."""
+    rng = np.random.default_rng(44)
+    w = _check_buffer(
+        "LINESTRING (0.6349868331 3.848554448, -2.49716731 -1.249264016, "
+        "3.415267494 -3.641630718, -3.747138184 -0.2795987302, 1.5 1.5)",
+        0.49,
+        rng,
+        6,
+    )
+    assert w is not None
+    # a figure-eight crossing: buffer must cover the crossing point once
+    w2 = _check_buffer("LINESTRING (0 0, 4 4, 4 0, 0 4)", 0.4, rng, 6)
+    assert w2 is not None
