@@ -710,6 +710,44 @@ def _hole_probes(coords, ring_offsets):
     return probes
 
 
+def _escape_witness(ca, oa, cb, ob) -> bool:
+    """EXACT disproof of "B ⊆ closure(A)" for regions B's boundary never
+    enters: True iff some point OUTSIDE closure(A) lies strictly inside
+    B. Boundary sampling cannot see such an escape (B's interior
+    swallows a whole complement component of A — a hole region, an
+    island-in-hole annulus, or the gap between two A members), so this
+    sweeps horizontal slices at the midpoint between every pair of
+    consecutive distinct vertex y's of A: within a slice no A edge
+    starts/ends, so the crossing parity between consecutive crossing
+    x's is constant, and every bounded complement component spans at
+    least one slice (segment extrema are vertices). Each even-parity
+    (outside-A) interval midpoint is tested for strict containment in
+    B. O(V_A² + V_A·V_B) like the relate itself."""
+    ca = np.asarray(ca, dtype=np.float64)
+    x1, y1, x2, y2 = polygon_edges(ca, np.asarray(oa))
+    ys = np.unique(ca[:, 1])
+    for ym in (ys[:-1] + ys[1:]) / 2.0:
+        lo = np.minimum(y1, y2)
+        hi = np.maximum(y1, y2)
+        crossing = (lo < ym) & (ym < hi)
+        if not crossing.any():
+            continue
+        t = (ym - y1[crossing]) / (y2[crossing] - y1[crossing])
+        xs = np.sort(x1[crossing] + t * (x2[crossing] - x1[crossing]))
+        if len(xs) < 2:
+            continue
+        mids = (xs[:-1] + xs[1:]) / 2.0
+        # interval k (between xs[k], xs[k+1]) has k+1 crossings to its
+        # left: odd ⇒ inside A, even ⇒ outside — take the even ones
+        outside = mids[(np.arange(len(mids)) + 1) % 2 == 0]
+        if len(outside) == 0:
+            continue
+        cls = classify_points_in_polygon(outside, np.full(len(outside), ym), cb, np.asarray(ob))
+        if (cls == 2).any():
+            return True
+    return False
+
+
 def _transpose_matrix(m: str | None) -> str | None:
     if m is None:
         return None
@@ -961,26 +999,16 @@ def relate_geoms(ka, ca, oa, kb, cb, ob) -> Relate:
         # rounding that can misclassify boundary samples on thin shapes
         r.a_covers_b = bool((not proper and (cls_b_in_a > 0).all()) or r.equal)
         r.b_covers_a = bool((not proper and (cls_a_in_b > 0).all()) or r.equal)
-        # hole correction: boundary samples can't witness "the other
-        # polygon fills my hole" — probe each hole's interior point: if it
-        # lies strictly inside the contained candidate, that candidate has
-        # interior outside the cover's closure and is NOT covered.
-        if r.a_covers_b and not r.equal:
-            for px, py in _hole_probes(ca, oa):
-                if (
-                    classify_points_in_polygon([px], [py], ca, oa)[0] == 0
-                    and classify_points_in_polygon([px], [py], cb, ob)[0] == 2
-                ):
-                    r.a_covers_b = False
-                    break
-        if r.b_covers_a and not r.equal:
-            for px, py in _hole_probes(cb, ob):
-                if (
-                    classify_points_in_polygon([px], [py], cb, ob)[0] == 0
-                    and classify_points_in_polygon([px], [py], ca, oa)[0] == 2
-                ):
-                    r.b_covers_a = False
-                    break
+        # complement correction: boundary samples can't witness "the
+        # other polygon fills a complement component of mine" — a hole,
+        # an island-in-hole annulus, or the gap between two members
+        # (a single hole-centroid probe missed the annulus case: the
+        # centroid landed inside the nested island). The exact scanline
+        # witness sweeps every complement component instead.
+        if r.a_covers_b and not r.equal and _escape_witness(ca, oa, cb, ob):
+            r.a_covers_b = False
+        if r.b_covers_a and not r.equal and _escape_witness(cb, ob, ca, oa):
+            r.b_covers_a = False
         r.any_contact = bool(r.ii or r.bb)
         return r
 

@@ -30,7 +30,45 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 from geomesa_spark.functions import geometry as geo  # noqa: E402
-from jobs.overlay_null_rate import OPS, gen_pair  # noqa: E402
+from jobs.overlay_null_rate import OPS, _holed_polygon, _rect, gen_pair  # noqa: E402
+
+
+def _nested_island_wkt(rng) -> str:
+    """MULTIPOLYGON: big shell with a rect hole, plus an island member
+    nested INSIDE the hole (the region algebra's island-in-hole carve
+    path). Integer-snapped so degenerate contact is common."""
+    x0, y0 = int(rng.integers(-2, 2)), int(rng.integers(-2, 2))
+    hole = (
+        f"({x0 - 3} {y0 - 3}, {x0 + 3} {y0 - 3}, {x0 + 3} {y0 + 3}, "
+        f"{x0 - 3} {y0 + 3}, {x0 - 3} {y0 - 3})"
+    )
+    iw = int(rng.integers(1, 3))
+    isl = (
+        f"(({x0 - iw} {y0 - iw}, {x0 + iw} {y0 - iw}, {x0 + iw} {y0 + iw}, "
+        f"{x0 - iw} {y0 + iw}, {x0 - iw} {y0 - iw}))"
+    )
+    shell = (
+        f"(({x0 - 5} {y0 - 5}, {x0 + 5} {y0 - 5}, {x0 + 5} {y0 + 5}, "
+        f"{x0 - 5} {y0 + 5}, {x0 - 5} {y0 - 5}), {hole})"
+    )
+    return f"MULTIPOLYGON ({shell}, {isl})"
+
+
+def gen_pair_ext(rng, cls):
+    """Audit-only structural classes beyond overlay_null_rate's."""
+    if cls == "nested_islands":
+        return _nested_island_wkt(rng), _rect(rng, lo=-6, hi=8)
+    if cls == "multi_member":
+        a1 = _holed_polygon(rng, rng.uniform(-4, -2), rng.uniform(-2, 2), rng.uniform(1.5, 2.5), snap=True)
+        a2 = _holed_polygon(rng, rng.uniform(2, 4), rng.uniform(-2, 2), rng.uniform(1.5, 2.5), snap=True)
+        if a1 is None or a2 is None:
+            return None
+        a = "MULTIPOLYGON (%s, %s)" % (
+            a1[len("POLYGON "):], a2[len("POLYGON "):],
+        )
+        b = _holed_polygon(rng, rng.uniform(-2, 2), rng.uniform(-2, 2), rng.uniform(2.5, 4.5), snap=bool(rng.integers(2)))
+        return (a, b) if b else None
+    return gen_pair(rng, cls)
 
 BOOLS = {
     "intersection": lambda a, b: a & b,
@@ -76,10 +114,13 @@ def main() -> None:
     rng = np.random.default_rng(20260818)
     report: dict = {}
     examples: list = []
-    for cls in ("holed_generic", "holed_snapped", "rect_grid", "gc_overlap", "gc_mixed"):
+    for cls in (
+        "holed_generic", "holed_snapped", "rect_grid", "gc_overlap",
+        "gc_mixed", "nested_islands", "multi_member",
+    ):
         pairs = []
         while len(pairs) < n:
-            p = gen_pair(rng, cls)
+            p = gen_pair_ext(rng, cls)
             if p:
                 pairs.append(p)
         row = {op: {"checked": 0, "null": 0, "probes": 0, "mismatch": 0} for op in OPS}

@@ -33,8 +33,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 from geomesa_spark.functions import geometry as geo  # noqa: E402
-from jobs.overlay_mc_audit import _bbox, _member, _near_any_edge  # noqa: E402
-from jobs.overlay_null_rate import gen_pair  # noqa: E402
+from jobs.overlay_mc_audit import _bbox, _member, _near_any_edge, gen_pair_ext  # noqa: E402
 
 
 def main() -> None:
@@ -43,10 +42,13 @@ def main() -> None:
     rng = np.random.default_rng(20260818)
     report: dict = {}
     examples: list = []
-    for cls in ("holed_generic", "holed_snapped", "rect_grid", "gc_overlap", "gc_mixed"):
+    for cls in (
+        "holed_generic", "holed_snapped", "rect_grid", "gc_overlap",
+        "gc_mixed", "nested_islands", "multi_member",
+    ):
         pairs = []
         while len(pairs) < n:
-            p = gen_pair(rng, cls)
+            p = gen_pair_ext(rng, cls)
             if p:
                 pairs.append(p)
         row = {"checked": 0, "errors": 0, "cell_mismatch": 0, "covers_mismatch": 0}

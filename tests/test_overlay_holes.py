@@ -635,3 +635,36 @@ def test_symdifference_shared_edge_chain_degenerate_slivers():
     assert _result_area(w) == pytest.approx(
         _geom_area(A) + _geom_area(B) - 2 * _result_area(inter), rel=1e-9
     )
+
+
+def test_union_island_in_hole_covered_by_other():
+    """Regression (round-5 MC audit, nested_islands class): B's boundary
+    lies entirely ON A's closure while B's interior swallows A's whole
+    hole-annulus (hole minus nested island) — invisible to boundary
+    sampling, and the old hole-centroid probe landed INSIDE the island.
+    relate wrongly said A covers B, and the covered-operand fast path
+    returned A for A ∪ B. The exact scanline escape witness
+    (geo._escape_witness) now disproves covers."""
+    A = geo.parse_wkt(
+        "MULTIPOLYGON (((-5 -7, 5 -7, 5 3, -5 3, -5 -7), "
+        "(-3 -5, 3 -5, 3 1, -3 1, -3 -5)), "
+        "((-1 -3, 1 -3, 1 -1, -1 -1, -1 -3)))"
+    )
+    B = geo.parse_wkt("POLYGON ((-5 -5, 3 -5, 3 3, -5 3, -5 -5))")
+    assert not geo.pred_covers(geo.relate_geoms(*A, *B))
+    w = stf._overlay_union(A, B)
+    assert w is not None
+    gr = geo.parse_wkt(w)
+    # witness: in A's hole annulus (outside the island), inside B
+    assert _member(np.asarray([[-2.4310262366, -1.1731385725]]), *gr)[0]
+    rng = np.random.default_rng(17)
+    probes = np.column_stack([rng.uniform(-6, 6, 4000), rng.uniform(-8, 4, 4000)])
+    near = _near_any_edge(probes, [A, B, gr], tol=1e-9)
+    in_a, in_b, in_r = _member(probes, *A), _member(probes, *B), _member(probes, *gr)
+    assert not ((in_r != (in_a | in_b)) & ~near).any()
+    s = stf._overlay_symdifference(A, B)
+    assert s is not None
+    gs = geo.parse_wkt(s)
+    in_s = _member(probes, *gs)
+    near_s = _near_any_edge(probes, [A, B, gs], tol=1e-9)
+    assert not ((in_s != (in_a ^ in_b)) & ~near_s).any()
