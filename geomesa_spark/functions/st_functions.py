@@ -1384,24 +1384,40 @@ def _gc_parts_interior_disjoint(parts: list) -> bool:
 
 
 def _clean_ring(ring) -> np.ndarray | None:
-    """Drop consecutive duplicate vertices (exact equality) and re-close;
-    None when fewer than 3 distinct vertices remain — a ring like
-    (p, q, p) encloses EXACTLY zero area, so dropping it is exact, not
-    an approximation. Upstream overlays can emit such slivers under
-    degenerate contact (observed: ((0 7, 8.9e-16 7, 0 7)) from an
-    intersection), and the ring-pair kernels downstream choke on
-    zero-length edges."""
+    """Canonicalize a ring for the region algebra: drop consecutive
+    duplicate vertices and collapse exact zero-width backtrack spikes
+    (v[k-1] == v[k+1] — the doubled edge toggles even-odd parity twice,
+    so removal is point-set EXACT, not an approximation); None when
+    fewer than 3 distinct vertices remain (such a ring encloses exactly
+    zero area). Upstream overlays can emit both artifacts under
+    degenerate contact — observed: a sliver ((0 7, 8.9e-16 7, 0 7))
+    from an intersection, and a hole-union ring threading a nested
+    hole's corners via a spike ((-0.5 0.5, -0.5 0, -0.5 0.5)) that made
+    the downstream intersect kernel answer EMPTY instead of the patch
+    region — and the ring-pair kernels choke on zero-length and doubled
+    edges."""
     ring = np.asarray(ring, dtype=np.float64)
-    keep = np.ones(len(ring), dtype=bool)
-    keep[1:] = (ring[1:] != ring[:-1]).any(axis=1)
-    ring = ring[keep]
-    if len(ring) == 0:
+    body = ring[:-1] if len(ring) > 1 and (ring[0] == ring[-1]).all() else ring
+    changed = True
+    while changed and len(body) >= 3:
+        changed = False
+        n = len(body)
+        keep = np.ones(n, dtype=bool)
+        for k in range(n):
+            if (body[k] == body[(k + 1) % n]).all():
+                keep[(k + 1) % n] = False
+        if not keep.all():
+            body = body[keep]
+            changed = True
+            continue
+        for k in range(n):
+            if (body[(k - 1) % n] == body[(k + 1) % n]).all():
+                body = np.delete(body, sorted({k, (k + 1) % n}, reverse=True), axis=0)
+                changed = True
+                break
+    if len(body) < 3 or len(np.unique(body, axis=0)) < 3:
         return None
-    if (ring[0] != ring[-1]).any():
-        ring = np.vstack([ring, ring[:1]])
-    if len(np.unique(ring[:-1], axis=0)) < 3:
-        return None
-    return ring
+    return np.vstack([body, body[:1]])
 
 
 def _areal_members(kind, coords, offs) -> list | None:
@@ -1956,7 +1972,37 @@ def _areal_difference(ga, gb) -> str | None:
             if cur is None:
                 return None
         out.extend(cur)
+    if not _pieces_interior_disjoint(out):
+        # deep degenerate member chains can drive the pair kernels into
+        # emitting overlapping sliver pieces without any step nulling
+        # (round-5 MC audit: duplicated zero-area parts + a piece
+        # holed by its own fp-noise twin). The region-algebra invariant
+        # is a DISJOINT piece list — enforce it as an exact output gate
+        # and fall back to the rechain/slab rungs instead of shipping
+        # junk.
+        return None
     return _polys_to_wkt(out)
+
+
+def _pieces_interior_disjoint(pieces: list) -> bool:
+    """True when no two pieces of a region list share interior points
+    (bbox prefilter + exact relate ii). The region algebra's invariant;
+    violated output means a kernel mis-traced a degenerate contact."""
+    for x in range(len(pieces)):
+        cx, ox = pieces[x]
+        for y in range(x + 1, len(pieces)):
+            cy, oy = pieces[y]
+            if (
+                cx[:, 0].max() < cy[:, 0].min() or cy[:, 0].max() < cx[:, 0].min()
+                or cx[:, 1].max() < cy[:, 1].min() or cy[:, 1].max() < cx[:, 1].min()
+            ):
+                continue
+            try:
+                if geo.relate_geoms("POLYGON", cx, ox, "POLYGON", cy, oy).ii:
+                    return False
+            except Exception:
+                return False
+    return True
 
 
 def _piece_contact(c2, o2, b2) -> str:
@@ -2294,13 +2340,41 @@ def _overlay_symdifference(ga, gb) -> str | None:
     (A \\ B) ∪ (B \\ A), whose differences have disjoint interiors so
     the union only exercises the disjoint/touching paths. Exact wherever
     the underlying overlays are; None otherwise."""
+    def _parity_area(w: str) -> float | None:
+        # sum of areal parts — a GEOMETRYCOLLECTION result (areal part
+        # + shared-boundary linework) has real area; treating it as 0
+        # made the gate reject CORRECT mixed-dimension results
+        if w.endswith(" EMPTY"):
+            return 0.0
+        tot = 0.0
+        for k2, c2, o2 in geo.geom_parts(*geo.parse_wkt(w)):
+            if k2 == "POLYGON":
+                tot += float(_areal_area(c2, o2))
+        return tot
+
+    def _area_ok(w: str, want: float | None) -> bool:
+        # EXACT identity gate: deep degenerate inputs can drive a
+        # crossing kernel into emitting overlapping sliver pieces that
+        # are wrong but non-null (round-5 MC audit: a holed_snapped
+        # pair's u \ i read 72.74 vs the true 68.69) — the identity
+        # catches them and the dispatcher falls through to the next
+        # composition instead of shipping the junk.
+        if want is None:
+            return True
+        got = _parity_area(w)
+        return got is not None and abs(got - want) <= 1e-9 * max(1.0, abs(want))
+
     u = _overlay_union(ga, gb)
     i = _overlay_intersection(ga, gb)
     if u is not None and i is not None:
         if i.endswith(" EMPTY"):
             return u
-        d = _overlay_difference(geo.parse_wkt(u), geo.parse_wkt(i))
-        if d is not None:
+        gu_, gi_ = geo.parse_wkt(u), geo.parse_wkt(i)
+        au, ai = _parity_area(u), _parity_area(i)
+        want = au - ai if au is not None and ai is not None else None
+        # i ⊆ u, so the areal gap is exactly au − ai (any result kind)
+        d = _overlay_difference(gu_, gi_)
+        if d is not None and _area_ok(d, want):
             return d
     d1 = _overlay_difference(ga, gb)
     if d1 is None:
@@ -2317,6 +2391,11 @@ def _overlay_symdifference(ga, gb) -> str | None:
     if e2:
         return d1
     out = _overlay_union(geo.parse_wkt(d1), geo.parse_wkt(d2))
+    if out is not None:
+        # the two differences have disjoint interiors: exact additivity
+        w1, w2 = _parity_area(d1), _parity_area(d2)
+        if w1 is not None and w2 is not None and not _area_ok(out, w1 + w2):
+            out = None
     if out is None:
         out = _slab_fallback(ga, gb, "symdifference")
     return out

@@ -668,3 +668,69 @@ def test_union_island_in_hole_covered_by_other():
     in_s = _member(probes, *gs)
     near_s = _near_any_edge(probes, [A, B, gs], tol=1e-9)
     assert not ((in_s != (in_a ^ in_b)) & ~near_s).any()
+
+
+def test_symdifference_nested_holes_spike_ring():
+    """Regression (round-5 MC audit, N=2000): A's hole nested inside B's
+    hole with shared corner/edges made the intersection emit a hole-
+    union ring threading the nested hole's corners via an exact
+    zero-width backtrack spike; the u \\ i add-back intersect kernel
+    answered EMPTY on the spiked ring, silently losing the H_B \\ H_A
+    patch. _clean_ring now collapses exact backtrack spikes
+    (parity-exact)."""
+    A = geo.parse_wkt(
+        "POLYGON ((-4 -1, 2 -2, 3 -2, 2 2, -0 3, -4 -1), "
+        "(-1 -1, -0.5 -1, -0.5 -0, -1 -0, -1 -1))"
+    )
+    B = geo.parse_wkt(
+        "POLYGON ((-5 -1, -4 -2, 1 -5, 5 -4, 6 -2, 5 6, -4 4, -5 -1), "
+        "(-1 -1, 0 -1, 0 0.5, -1 0.5, -1 -1))"
+    )
+    w = stf._overlay_symdifference(A, B)
+    assert w is not None
+    gr = geo.parse_wkt(w)
+    # witness: inside B's hole but outside A's nested hole ⇒ in A only
+    assert _member(np.asarray([[-0.20984242, -0.87200809]]), *gr)[0]
+    rng = np.random.default_rng(23)
+    probes = np.column_stack([rng.uniform(-6, 7, 4000), rng.uniform(-6, 7, 4000)])
+    near = _near_any_edge(probes, [A, B, gr], tol=1e-9)
+    in_a, in_b, in_r = _member(probes, *A), _member(probes, *B), _member(probes, *gr)
+    assert not ((in_r != (in_a ^ in_b)) & ~near).any()
+    inter = stf._overlay_intersection(A, B)
+    assert _result_area(w) == pytest.approx(
+        _geom_area(A) + _geom_area(B) - 2 * _result_area(inter), rel=1e-9
+    )
+
+
+def test_areal_difference_disjoint_piece_gate():
+    """Regression (round-5 MC audit, N=2000): a holed_snapped u \\ i with
+    a 4-member degenerate intersection drove the member-subtraction
+    chain into overlapping sliver pieces (duplicated zero-area parts, a
+    piece holed by its own fp-noise twin) without any step nulling —
+    parity area 72.74 vs the true 68.69. _areal_difference now enforces
+    its own disjoint-piece-list invariant as an exact output gate; the
+    ladder's slab rung recovers the exact answer."""
+    A = geo.parse_wkt(
+        "POLYGON ((-5 -3, 1 -4, 4 -1, 2 7, -4 7, -5 6, -5 -3), "
+        "(-2 0, 0.5 0, 0.5 2.5, -2 2.5, -2 0))"
+    )
+    B = geo.parse_wkt("POLYGON ((1 -3, 2 -3, 4 -1, -1 3, -2 3, -3 2, 1 -3))")
+    w = stf._overlay_symdifference(A, B)
+    assert w is not None
+    gr = geo.parse_wkt(w)
+    # witness: inside both operands ⇒ excluded from the symdifference
+    assert not _member(np.asarray([[1.5834590002, 0.7047495466]]), *gr)[0]
+    rng = np.random.default_rng(29)
+    probes = np.column_stack([rng.uniform(-6, 5, 4000), rng.uniform(-5, 8, 4000)])
+    near = _near_any_edge(probes, [A, B, gr], tol=1e-9)
+    in_a, in_b, in_r = _member(probes, *A), _member(probes, *B), _member(probes, *gr)
+    assert not ((in_r != (in_a ^ in_b)) & ~near).any()
+    # mixed-dimension gate false-positive guard: GC intersection result
+    # (polygon + touching-edge linework) must NOT null the symdiff
+    A2 = geo.parse_wkt(
+        "GEOMETRYCOLLECTION (POLYGON ((3 1, 8 1, 8 6, 3 6, 3 1)), "
+        "POLYGON ((1 2, 3 2, 3 5, 1 5, 1 2)))"
+    )
+    B2 = geo.parse_wkt("POLYGON ((0 5, 9 5, 9 9, 0 9, 0 5))")
+    w2 = stf._overlay_symdifference(A2, B2)
+    assert w2 is not None
